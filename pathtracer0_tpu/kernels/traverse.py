@@ -1,0 +1,290 @@
+"""BVH traversal + closest-hit scene query.
+
+TPU-native replacement for the GLSL megakernel's rayBVH/rayScene
+(frag.glsl:452-653). Instead of one divergent per-pixel stack walk, a scalar
+traversal (fixed-size stack in a carried array, `lax.while_loop`) is vmapped
+over a megabatch of rays; XLA lifts the vmapped while_loop into one batched
+loop whose iteration count is the max frontier depth over the batch, with
+all memory traffic expressed as vectorized gathers.
+
+Traversal semantics match the reference:
+  * traversal starts at each top-level object root, pruned by the closest
+    hit found so far across objects (frag.glsl:563-565, rayBVH's
+    previous_closest_t argument)
+  * leaves are nodes whose children are both -1 (frag.glsl:478)
+  * internal nodes push far-child-first with closest-t pruning
+    (frag.glsl:523-531)
+  * leaf triangles accepted when t in (0, closest_t) (frag.glsl:489)
+  * ray origins are nudged o + 1e-4*d before the scene query (frag.glsl:549)
+
+Hit attributes (normal/UV/tangent) are interpolated ONCE after the closest
+hit is final, not per candidate as in the shader — identical result, less
+work. PARITY.md #2: the shader's smooth-normal interpolation reads n2 twice
+(frag.glsl:503) and falls back to a zero normal for flat triangles whose
+face normal has any zero component (frag.glsl:501-507); we interpolate
+n1/n2/n3 correctly and use the packed has_smooth mask.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as vm
+from . import intersect
+
+MISS = intersect.MISS
+
+
+class Hit(NamedTuple):
+    """rayScene result (raySceneResult, frag.glsl:83-96), SoA over rays."""
+
+    t: jax.Array          # (B,) distance; 1e30 = miss
+    tri: jax.Array        # (B,) triangle index, -1 if none
+    u: jax.Array          # (B,) barycentric u
+    v: jax.Array          # (B,) barycentric v
+    obj: jax.Array        # (B,) top-level BVH root id (parentID), -1 if none
+    kind: jax.Array       # (B,) 0 none, 1 tri, 2 implicit, 3 ellipsoid
+    prim: jax.Array       # (B,) ellipsoid/implicit index, -1 otherwise
+
+    @property
+    def is_hit(self):
+        return self.t < jnp.float32(1e25)  # frag.glsl:634
+
+
+class SurfaceSample(NamedTuple):
+    """Interpolated attributes at the closest hit."""
+
+    loc: jax.Array        # (B, 3) hit location (origin + t * dir, nudged o)
+    norm: jax.Array       # (B, 3) shading normal
+    tangent: jax.Array    # (B, 3) UV tangent (zeros when no UVs)
+    uv: jax.Array         # (B, 2) interpolated UV ((-1,-1) when none)
+    mat: jax.Array        # (B,) material index
+    has_uv: jax.Array     # (B,) bool
+
+
+def _traverse_object(o, d, root, closest, scene, stack_depth: int,
+                     leaf_cap: int):
+    """Scalar single-object rayBVH (frag.glsl:452-537). Returns
+    (closest_t, tri_idx, u, v, steps) with tri_idx = -1 if no closer hit."""
+    node_min = scene.node_min
+    node_max = scene.node_max
+
+    enter = intersect.ray_box(o, d, node_min[root], node_max[root])
+    stack = jnp.zeros((stack_depth,), jnp.int32)
+    stack = stack.at[0].set(root)
+    sp = jnp.where(enter > closest, 0, 1).astype(jnp.int32)
+
+    def cond(carry):
+        sp, _, _, _, _, _, _ = carry
+        return sp > 0
+
+    def body(carry):
+        sp, stack, closest, tri_idx, uu, vv, steps = carry
+        node = stack[sp - 1]
+        sp = sp - 1
+        left = scene.node_left[node]
+        right = scene.node_right[node]
+        is_leaf = (left | right) == -1  # frag.glsl:478
+
+        # ---- leaf path: test up to leaf_cap triangles -------------------
+        start = scene.leaf_start[node]
+        end = scene.leaf_end[node]
+
+        def leaf_body(i, acc):
+            closest, tri_idx, uu, vv = acc
+            idx = start + i
+            valid = is_leaf & (idx < end)
+            tri = scene.leaf_tri[jnp.minimum(idx, scene.leaf_tri.shape[0] - 1)]
+            t, u, v = intersect.ray_tri(
+                o, d, scene.tri_v1[tri], scene.tri_v2[tri], scene.tri_v3[tri]
+            )
+            better = valid & (t > 0.0) & (t < closest)
+            closest = jnp.where(better, t, closest)
+            tri_idx = jnp.where(better, tri, tri_idx)
+            uu = jnp.where(better, u, uu)
+            vv = jnp.where(better, v, vv)
+            return closest, tri_idx, uu, vv
+
+        closest, tri_idx, uu, vv = jax.lax.fori_loop(
+            0, leaf_cap, leaf_body, (closest, tri_idx, uu, vv)
+        )
+
+        # ---- internal path: test children, push far then near -----------
+        lsafe = jnp.maximum(left, 0)
+        rsafe = jnp.maximum(right, 0)
+        ld = intersect.ray_box(o, d, node_min[lsafe], node_max[lsafe])
+        rd = intersect.ray_box(o, d, node_min[rsafe], node_max[rsafe])
+        swap = ld > rd
+        far_id = jnp.where(swap, left, right)
+        far_d = jnp.where(swap, ld, rd)
+        near_id = jnp.where(swap, right, left)
+        near_d = jnp.where(swap, rd, ld)
+
+        push_far = (~is_leaf) & (far_d < closest)
+        stack = stack.at[jnp.minimum(sp, stack_depth - 1)].set(
+            jnp.where(push_far, far_id, stack[jnp.minimum(sp, stack_depth - 1)])
+        )
+        sp = sp + push_far.astype(jnp.int32)
+        push_near = (~is_leaf) & (near_d < closest)
+        stack = stack.at[jnp.minimum(sp, stack_depth - 1)].set(
+            jnp.where(push_near, near_id,
+                      stack[jnp.minimum(sp, stack_depth - 1)])
+        )
+        sp = sp + push_near.astype(jnp.int32)
+        return sp, stack, closest, tri_idx, uu, vv, steps + 1
+
+    init = (
+        sp,
+        stack,
+        closest,
+        jnp.int32(-1),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        jnp.int32(0),
+    )
+    sp, stack, closest, tri_idx, uu, vv, steps = jax.lax.while_loop(
+        cond, body, init
+    )
+    return closest, tri_idx, uu, vv, steps
+
+
+def _ray_scene_scalar(o, d, scene, info, stack_depth: int):
+    """Scalar rayScene (frag.glsl:548-653): closest hit over the BVH forest
+    and the analytic ellipsoids. Returns a scalar Hit (to be vmapped)."""
+    o = o + jnp.float32(1e-4) * d  # frag.glsl:549
+    closest = MISS
+    tri_idx = jnp.int32(-1)
+    uu = vv = jnp.float32(0.0)
+    obj = jnp.int32(-1)
+    kind = jnp.int32(0)
+    prim = jnp.int32(-1)
+
+    leaf_cap = max(info.max_leaf_size, 1)
+
+    if info.num_objects > 0:
+        def obj_body(i, carry):
+            closest, tri_idx, uu, vv, obj = carry
+            root = scene.roots[i]
+            new_t, new_tri, nu, nv, _ = _traverse_object(
+                o, d, root, closest, scene, stack_depth, leaf_cap
+            )
+            better = new_tri >= 0
+            obj = jnp.where(better, root, obj)
+            return (
+                jnp.where(better, new_t, closest),
+                jnp.where(better, new_tri, tri_idx),
+                jnp.where(better, nu, uu),
+                jnp.where(better, nv, vv),
+                obj,
+            )
+
+        closest, tri_idx, uu, vv, obj = jax.lax.fori_loop(
+            0, info.num_objects, obj_body,
+            (closest, tri_idx, uu, vv, obj),
+        )
+        kind = jnp.where(tri_idx >= 0, 1, kind)
+
+    if info.num_ellipsoids > 0:
+        # Vectorized over all ellipsoids at once (frag.glsl:606-631)
+        rot = scene.ell_rot
+        rotated = vm.length(rot) > 0.0
+        ro = jnp.where(
+            rotated[:, None], vm.rotate(jnp.broadcast_to(o, rot.shape), rot), o
+        )
+        rd_ = jnp.where(
+            rotated[:, None], vm.rotate(jnp.broadcast_to(d, rot.shape), rot), d
+        )
+        ts = intersect.ray_ellipsoid(
+            ro, rd_, scene.ell_c, scene.ell_rad, scene.ell_stretch
+        )
+        n_ell = info.num_ellipsoids
+        ts = ts[:n_ell]
+        best = jnp.argmin(ts)
+        best_t = ts[best]
+        hit_ell = best_t < closest
+        closest = jnp.where(hit_ell, best_t, closest)
+        kind = jnp.where(hit_ell, 3, kind)
+        prim = jnp.where(hit_ell, best.astype(jnp.int32), prim)
+        tri_idx = jnp.where(hit_ell, -1, tri_idx)
+        obj = jnp.where(hit_ell, -1, obj)
+
+    return Hit(t=closest, tri=tri_idx, u=uu, v=vv, obj=obj, kind=kind,
+               prim=prim), o
+
+
+def ray_scene(origins, directions, scene, info, stack_depth: int = 64):
+    """Batched closest-hit query: origins/directions (B, 3).
+
+    Returns (Hit, nudged_origins). Wrap in jit at the call site (the
+    integrator jits whole megabatch steps).
+    """
+    fn = functools.partial(
+        _ray_scene_scalar, scene=scene, info=info, stack_depth=stack_depth
+    )
+    return jax.vmap(fn)(origins, directions)
+
+
+def surface_sample(hit: Hit, origins, directions, scene) -> SurfaceSample:
+    """Interpolate normal/UV/tangent at the final hits (frag.glsl:483-519
+    leaf bookkeeping + frag.glsl:606-631 ellipsoid normals), deferred to
+    once-per-ray. `origins` must be the nudged origins returned by
+    ray_scene."""
+    tri = jnp.maximum(hit.tri, 0)
+    loc = origins + hit.t[..., None] * directions
+
+    # --- triangle attributes ---------------------------------------------
+    u = hit.u[..., None]
+    v = hit.v[..., None]
+    w = 1.0 - u - v
+    n1 = scene.tri_n1[tri]
+    n2 = scene.tri_n2[tri]
+    n3 = scene.tri_n3[tri]
+    smooth = scene.tri_has_smooth[tri][..., None]
+    interp = vm.normalize(n1 * w + n2 * u + n3 * v)
+    tri_norm = jnp.where(smooth, interp, n1)
+
+    has_uv = scene.tri_has_uv[tri]
+    uv1 = scene.tri_uv1[tri]
+    uv2 = scene.tri_uv2[tri]
+    uv3 = scene.tri_uv3[tri]
+    uv = uv1 * w + uv2 * u + uv3 * v
+    # GL flips v for mesh UVs (frag.glsl:513)
+    uv = jnp.stack([uv[..., 0], 1.0 - uv[..., 1]], axis=-1)
+    uv = jnp.where(has_uv[..., None], uv, jnp.float32(-1.0))
+    tangent = intersect.compute_tangent(
+        scene.tri_v1[tri], scene.tri_v2[tri], scene.tri_v3[tri],
+        uv1, uv2, uv3, tri_norm,
+    )
+    tangent = jnp.where(has_uv[..., None], tangent, 0.0)
+    tri_mat = scene.tri_mat[tri]
+
+    # --- ellipsoid attributes ----------------------------------------------
+    prim = jnp.maximum(hit.prim, 0)
+    c = scene.ell_c[prim]
+    rot = scene.ell_rot[prim]
+    rotated = (vm.length(rot) > 0.0)[..., None]
+    # Reference: N = normalize(o + t*d - c), in the rotated frame when the
+    # ellipsoid is rotated (frag.glsl:622-626).
+    ro = jnp.where(rotated, vm.rotate(origins, rot), origins)
+    rd = jnp.where(rotated, vm.rotate(directions, rot), directions)
+    local = ro + hit.t[..., None] * rd - c
+    ell_norm_rot = vm.rotate_back(vm.normalize(local), rot)
+    ell_norm = jnp.where(rotated, ell_norm_rot, vm.normalize(loc - c))
+    ell_mat = scene.ell_mat[prim]
+
+    is_tri = (hit.kind == 1)[..., None]
+    is_ell = (hit.kind == 3)[..., None]
+    norm = jnp.where(is_tri, tri_norm, jnp.where(is_ell, ell_norm, 0.0))
+    mat = jnp.where(hit.kind == 1, tri_mat,
+                    jnp.where(hit.kind == 3, ell_mat, -1))
+    uv = jnp.where(is_tri, uv, -1.0)
+    tangent = jnp.where(is_tri, tangent, 0.0)
+    has_uv = has_uv & (hit.kind == 1)
+
+    return SurfaceSample(
+        loc=loc, norm=norm, tangent=tangent, uv=uv,
+        mat=mat.astype(jnp.int32), has_uv=has_uv,
+    )

@@ -1,0 +1,283 @@
+"""Progressive renderer: the frame loop, accumulation, and screenshots.
+
+TPU-native replacement for the reference's dispatch/frame machinery
+(dispatch.java:593-713 + frag.glsl:884-933):
+  * render_frame — one full frame (all pixels x samples_per_frame), jitted
+  * Renderer     — progressive accumulation state (sum image + frame count,
+    the reference's rgba32f FRAME image + u_frameCount, frag.glsl:924-933),
+    reset-on-change (dispatch.java:646-691, resetTexture 732-735),
+    screenshots (dispatch.java:804-851), checkpoint/resume, telemetry.
+
+Per-sample semantics match the shader main() (frag.glsl:884-915): one RNG
+stream per pixel seeded index + frame_seed, carried across the frame's
+samples; DOF origin jitter per sample; autofocus = center-ray hit distance
+(probed once per frame — it is pixel-independent, frag.glsl:901-906).
+"""
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..core import camera, rng as vrng
+from ..kernels import traverse
+from ..scene.packing import DeviceScene, StaticSceneInfo
+from . import integrator
+from .integrator import TraceParams
+
+
+def _frame_params(config: RenderConfig):
+    return TraceParams(
+        max_bounces=config.max_bounces,
+        stack_depth=config.traversal_stack_depth,
+        refraction_stack=config.refraction_stack_depth,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("info", "params", "width", "height", "spp",
+                     "raytracing", "auto_focus", "cam_size", "focal_length",
+                     "blur", "focal_distance"),
+)
+def render_frame(
+    scene: DeviceScene,
+    cam_pos,
+    cam_rot,
+    frame_seed,
+    *,
+    info: StaticSceneInfo,
+    params: TraceParams,
+    width: int,
+    height: int,
+    spp: int,
+    raytracing: bool,
+    auto_focus: bool,
+    cam_size: float,
+    focal_length: float,
+    blur: float,
+    focal_distance: float,
+):
+    """One frame: (H, W, 3) float32 mean of `spp` samples per pixel."""
+    uv, index = camera.pixel_centers(width, height)
+    h_ratio = height / float(width)
+    direction = camera.primary_directions(
+        uv, cam_rot, cam_size, focal_length, h_ratio
+    )
+    state = vrng.seed(index, frame_seed)
+    origin = jnp.broadcast_to(cam_pos, direction.shape)
+
+    # Autofocus: probe the center ray once (frag.glsl:901-906).
+    ifd = jnp.float32(focal_distance)
+    if auto_focus:
+        probe_d = camera.center_probe_direction(cam_rot)
+        probe_hit, _ = traverse.ray_scene(
+            cam_pos[None], probe_d[None], scene, info,
+            stack_depth=params.stack_depth,
+        )
+        mid = jnp.where(probe_hit.is_hit[0], probe_hit.t[0], -1.0)
+        ifd = jnp.where(mid > 0.0, mid, ifd)
+    ifd_b = jnp.broadcast_to(ifd, direction.shape[:-1])
+
+    def sample_body(_, carry):
+        col_sum, state = carry
+        o_j, d_j, state = camera.dof_ray(
+            origin, direction, cam_rot, jnp.float32(blur), ifd_b, state
+        )
+        if raytracing:
+            col, state = integrator.trace(
+                o_j, d_j, state, scene, info, params
+            )
+        else:
+            col = integrator.direct_diffuse(o_j, d_j, scene, info, params)
+        return col_sum + col, state
+
+    col_sum, state = jax.lax.fori_loop(
+        0, spp, sample_body,
+        (jnp.zeros_like(direction), state),
+    )
+    col = col_sum / jnp.float32(spp)
+    return col.reshape(height, width, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("info", "params", "width", "height",
+                     "cam_size", "focal_length"),
+)
+def render_debug_frame(scene, cam_pos, cam_rot, *, info, params,
+                       width, height, cam_size, focal_length):
+    """DEBUG mode: BVH traversal-cost heatmap (frag.glsl:534, 539-547):
+    blue = exp(0.01*(boxTests-200)), red = exp(0.02*(triTests-150)),
+    averaged over top-level objects, plus 0.01 red per visited leaf."""
+    uv, _ = camera.pixel_centers(width, height)
+    h_ratio = height / float(width)
+    d = camera.primary_directions(uv, cam_rot, cam_size, focal_length,
+                                  h_ratio)
+    o = jnp.broadcast_to(cam_pos, d.shape)
+
+    leaf_cap = max(info.max_leaf_size, 1)
+
+    def probe(o1, d1):
+        total = jnp.zeros(3, jnp.float32)
+        for i in range(info.num_objects):
+            root = scene.roots[i]
+            _, _, _, _, steps = traverse._traverse_object(
+                o1 + 1e-4 * d1, d1, root, traverse.MISS, scene,
+                params.stack_depth, leaf_cap,
+            )
+            box_tests = 2.0 * steps.astype(jnp.float32)
+            col = jnp.array([0.0, 0.0, 1.0]) * jnp.exp(
+                0.01 * (box_tests - 200.0)
+            )
+            total = total + col / max(info.num_objects, 1)
+        return total
+
+    if info.num_objects == 0:
+        return jnp.zeros((height, width, 3), jnp.float32)
+    img = jax.vmap(probe)(o, d)
+    return img.reshape(height, width, 3)
+
+
+@dataclasses.dataclass
+class Renderer:
+    """Progressive accumulation driver (the reference's FRAME image +
+    FRAMES_STILL counter + reset-on-change, dispatch.java:593-713)."""
+
+    scene: DeviceScene
+    info: StaticSceneInfo
+    config: RenderConfig
+    cam_pos: np.ndarray = None
+    cam_rot: np.ndarray = None
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.cam_pos is None:
+            self.cam_pos = np.zeros(3, np.float32)
+        if self.cam_rot is None:
+            self.cam_rot = np.zeros(3, np.float32)
+        self.cam_pos = jnp.asarray(self.cam_pos, jnp.float32)
+        self.cam_rot = jnp.asarray(self.cam_rot, jnp.float32)
+        self._sum = jnp.zeros(
+            (self.config.height, self.config.width, 3), jnp.float32
+        )
+        self._count = 0
+        self._frame_index = 0
+        self._rng = np.random.RandomState(self.seed)
+
+    # -- state ----------------------------------------------------------
+    def reset_accumulation(self):
+        """resetTexture (dispatch.java:732-735): clears the running sum."""
+        self._sum = jnp.zeros_like(self._sum)
+        self._count = 0
+
+    def move_camera(self, pos=None, rot=None):
+        """Camera motion resets accumulation (dispatch.java:646-667)."""
+        if pos is not None:
+            self.cam_pos = jnp.asarray(pos, jnp.float32)
+        if rot is not None:
+            self.cam_rot = jnp.asarray(rot, jnp.float32)
+        self.reset_accumulation()
+
+    # -- rendering --------------------------------------------------------
+    def step(self, frame_seed: Optional[int] = None) -> jax.Array:
+        """Render one frame and fold it into the accumulation; returns the
+        current display image (sum / count, frag.glsl:924-933)."""
+        cfg = self.config
+        if frame_seed is None:
+            # u_seed = random int each frame (dispatch.java:698)
+            frame_seed = int(self._rng.randint(0, 10000))
+        if cfg.debug:
+            frame = render_debug_frame(
+                self.scene, self.cam_pos, self.cam_rot,
+                info=self.info, params=_frame_params(cfg),
+                width=cfg.width, height=cfg.height,
+                cam_size=cfg.cam_size, focal_length=cfg.focal_length,
+            )
+        else:
+            frame = render_frame(
+                self.scene, self.cam_pos, self.cam_rot,
+                jnp.uint32(frame_seed),
+                info=self.info, params=_frame_params(cfg),
+                width=cfg.width, height=cfg.height,
+                spp=cfg.samples_per_frame, raytracing=cfg.raytracing,
+                auto_focus=cfg.auto_focus, cam_size=cfg.cam_size,
+                focal_length=cfg.focal_length, blur=cfg.blur,
+                focal_distance=cfg.focal_distance,
+            )
+        self._sum = self._sum + frame
+        self._count += 1
+        self._frame_index += 1
+        return self.display_image()
+
+    def render(self, frames: int = 1) -> jax.Array:
+        for _ in range(frames):
+            self.step()
+        return self.display_image()
+
+    def display_image(self) -> jax.Array:
+        return self._sum / jnp.float32(max(self._count, 1))
+
+    # -- I/O ----------------------------------------------------------------
+    def screenshot(self, filename: Optional[str] = None,
+                   directory: str = "screenshots") -> str:
+        """PNG of the current display image, vertically flipped like the
+        reference readback (dispatch.java:804-851)."""
+        from ..utils import image as img_util
+
+        os.makedirs(directory, exist_ok=True)
+        if filename is None:
+            filename = "GLSL_render.png"  # dispatch.java:795
+        path = os.path.join(directory, filename)
+        img_util.write_png(path, np.asarray(self.display_image()))
+        return path
+
+    def auto_screenshot(self) -> str:
+        """autoScreenshot_<frames>_<timestamp>.png (dispatch.java:595-599)."""
+        stamp = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M")
+        return self.screenshot(
+            f"autoScreenshot_{self._count}_{stamp}.png"
+        )
+
+    def telemetry(self) -> str:
+        """The stdin `telemetry` command (dispatch.java:785-792)."""
+        p = np.asarray(self.cam_pos)
+        r = np.asarray(self.cam_rot)
+        return (
+            f"Camera Position: \n({p[0]},{p[1]},{p[2]})\n"
+            f"Rotation:\n({r[0]},{r[1]},{r[2]})"
+        )
+
+    # -- checkpoint/resume ---------------------------------------------------
+    def save_checkpoint(self, path: str):
+        """Persist (sum, count, seed state) — the accumulation buffer IS the
+        render checkpoint (SURVEY.md §5); resuming continues adding frames
+        with identical RNG streams."""
+        np.savez(
+            path,
+            sum=np.asarray(self._sum),
+            count=self._count,
+            frame_index=self._frame_index,
+            cam_pos=np.asarray(self.cam_pos),
+            cam_rot=np.asarray(self.cam_rot),
+        )
+        # The RNG stream position is recovered from frame_index + seed.
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path, allow_pickle=False)
+        self._sum = jnp.asarray(data["sum"])
+        self._count = int(data["count"])
+        self._frame_index = int(data["frame_index"])
+        self.cam_pos = jnp.asarray(data["cam_pos"])
+        self.cam_rot = jnp.asarray(data["cam_rot"])
+        self._rng = np.random.RandomState(self.seed)
+        # Fast-forward the per-frame seed stream deterministically.
+        for _ in range(self._frame_index):
+            self._rng.randint(0, 10000)

@@ -1,0 +1,139 @@
+"""Scene builder: the host-side API mirroring the reference `scene` class.
+
+Reference API (dispatch.java:866-1064):
+    scene.addObject(path, mtl, scale, shift, rot)   -> add_object
+    scene.addTri(v1, v2, v3, m)                     -> add_tri
+    scene.addEllipsoid(c, stretch, rot, radius, m)  -> add_ellipsoid
+    scene.addImplicit(fn, shift, scale, rot, m)     -> add_implicit
+    scene.addMaterial(name) / setLastMtl(prop, val) -> add_material /
+                                                       set_last_mtl
+plus texture-0-is-the-sky (dispatch.java:221-222) via set_sky().
+
+`build()` packs everything into a DeviceScene (scene/packing.py) — the
+TPU-resident equivalent of the reference's 12 SSBO uploads.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from ..config import RenderConfig
+from .material import Material, parse_mtl
+from .objparse import TriangleSoA, parse_obj
+from .texture import TextureRegistry
+from . import packing
+
+
+class Scene:
+    def __init__(self):
+        self.materials: List[Material] = []
+        self.textures = TextureRegistry()
+        self.tris = TriangleSoA()
+        # Implicits (dispatch.java:107-111)
+        self.imp_fn: List[int] = []
+        self.imp_shift: List[Sequence[float]] = []
+        self.imp_scale: List[Sequence[float]] = []
+        self.imp_rot: List[Sequence[float]] = []
+        self.imp_mat: List[int] = []
+        # Ellipsoids (dispatch.java:114-118)
+        self.ell_c: List[Sequence[float]] = []
+        self.ell_stretch: List[Sequence[float]] = []
+        self.ell_rot: List[Sequence[float]] = []
+        self.ell_rad: List[float] = []
+        self.ell_mat: List[int] = []
+
+    # -- sky ---------------------------------------------------------------
+    def set_sky(self, image: Union[str, np.ndarray], name: str = "sky"):
+        """Register the equirect sky as texture 0 (dispatch.java:221-222).
+        Must be called before any other texture registration."""
+        if len(self.textures):
+            raise RuntimeError("set_sky must register texture index 0")
+        if isinstance(image, str):
+            self.textures.register(image, name)
+        else:
+            self.textures.register_array(image, name)
+
+    def set_constant_sky(self, color=(0.5, 0.5, 0.5)):
+        self.set_sky(np.full((1, 1, 3), 0.0, np.float32) + np.asarray(
+            color, np.float32), "sky")
+
+    # -- materials ----------------------------------------------------------
+    def add_material(self, name: str) -> Material:
+        mat = Material(name=name)
+        self.materials.append(mat)
+        return mat
+
+    def set_last_mtl(self, prop: str, value):
+        if not self.materials:
+            raise RuntimeError("no material added yet")
+        self.materials[-1].set(prop, value)
+
+    @property
+    def _material_names(self) -> List[str]:
+        return [m.name for m in self.materials]
+
+    # -- geometry -----------------------------------------------------------
+    def add_object(self, filepath: str, material: int = 0,
+                   scale=(1.0, 1.0, 1.0), shift=(0.0, 0.0, 0.0),
+                   rot=(0.0, 0.0, 0.0)):
+        """Directory mode parses all .mtl then all .obj inside; single-file
+        mode parses one .obj (dispatch.java:867-886)."""
+        if os.path.isdir(filepath):
+            entries = sorted(os.listdir(filepath))
+            mtls = [e for e in entries if e.lower().endswith(".mtl")]
+            objs = [e for e in entries if e.lower().endswith(".obj")]
+            if not objs:
+                print("no obj files found in the directory.")
+                return
+            for m in mtls:
+                parse_mtl(os.path.join(filepath, m), filepath,
+                          self.materials, self.textures)
+            for o in objs:
+                parse_obj(os.path.join(filepath, o), self.tris, material,
+                          scale, shift, rot, self._material_names, filepath)
+        elif os.path.isfile(filepath) and filepath.lower().endswith(".obj"):
+            parse_obj(filepath, self.tris, material, scale, shift, rot,
+                      self._material_names, "")
+        else:
+            raise FileNotFoundError(filepath)
+
+    def add_tri(self, v1, v2, v3, m: int):
+        """Single triangle, flat-shaded, no UVs (dispatch.java:1013-1015).
+        Its own single-node BVH object (the reference's loose tris never get
+        a BVH and are unreachable by the shader — PARITY.md #6; here every
+        triangle is traceable)."""
+        start = len(self.tris)
+        self.tris.add_triangle(
+            v1, v2, v3,
+            (0, 0, 0), (0, 0, 0), (0, 0, 0),
+            (0, 0), (0, 0), (0, 0), False, m,
+        )
+        self.tris.object_ranges.append((start, start + 1))
+
+    def add_ellipsoid(self, c, stretch, rot, radius: float, m: int):
+        self.ell_c.append(tuple(c))
+        self.ell_stretch.append(tuple(stretch))
+        self.ell_rot.append(tuple(rot))
+        self.ell_rad.append(float(radius))
+        self.ell_mat.append(int(m))
+
+    def add_sphere(self, center, radius: float, m: int):
+        """Convenience: unit-stretch ellipsoid."""
+        self.add_ellipsoid(center, (1.0, 1.0, 1.0), (0.0, 0.0, 0.0),
+                           radius, m)
+
+    def add_implicit(self, fn: int, shift, scale, rot, m: int):
+        self.imp_fn.append(int(fn))
+        self.imp_shift.append(tuple(shift))
+        self.imp_scale.append(tuple(scale))
+        self.imp_rot.append(tuple(rot))
+        self.imp_mat.append(int(m))
+
+    # -- packing -------------------------------------------------------------
+    def build(self, config: Optional[RenderConfig] = None,
+              max_leaf: Optional[int] = None):
+        """Returns (DeviceScene pytree, StaticSceneInfo)."""
+        config = config or RenderConfig()
+        return packing.pack_scene(self, config, max_leaf=max_leaf)

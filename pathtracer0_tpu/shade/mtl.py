@@ -1,0 +1,134 @@
+"""Device-side material decode + texture-map overrides.
+
+Equivalent of the GLSL `mtl` struct + `newMtl` + `mapMtl`
+(frag.glsl:97-225). Decode gathers one 48-float record per ray and splits it
+into a NamedTuple of SoA fields; mapMtl applies per-channel texture
+overrides: Ka/Kd multiply by the sample, Ks/Ke/d/Tr/Ns/Pm/Pr/Ps/Pc are
+REPLACED by it (frag.glsl:210-225).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.material import COL
+from ..scene.texture import sample_bilinear
+
+
+class Mtl(NamedTuple):
+    Ka: jax.Array   # (B, 3)
+    Kd: jax.Array   # (B, 3)
+    Ks: jax.Array   # (B, 3)
+    Ns: jax.Array   # (B,)
+    d: jax.Array
+    Tr: jax.Array
+    Tf: jax.Array   # (B, 3)
+    Ni: jax.Array
+    Ke: jax.Array   # (B, 3)
+    Density: jax.Array
+    illum: jax.Array  # (B,) int32
+    Pm: jax.Array
+    Pr: jax.Array
+    Ps: jax.Array
+    Pc: jax.Array
+    Pcr: jax.Array
+    aniso: jax.Array
+    anisor: jax.Array
+    subsurface: jax.Array
+    subsurfaceColor: jax.Array   # (B, 3)
+    subsurfaceRadius: jax.Array  # (B, 3)
+    map_norm: jax.Array          # (B,) int32 (for normal mapping)
+
+
+def decode(materials, mat_idx):
+    """newMtl (frag.glsl:170-209): gather records; mat_idx clamped to 0 so
+    missing materials (-1) decode harmlessly (they are only used by rays that
+    are masked out downstream)."""
+    rec = materials[jnp.maximum(mat_idx, 0)]
+
+    def f(name):
+        return rec[..., COL[name]]
+
+    def v3(name):
+        c = COL[name]
+        return rec[..., c:c + 3]
+
+    return Mtl(
+        Ka=v3("Ka"), Kd=v3("Kd"), Ks=v3("Ks"), Ns=f("Ns"), d=f("d"),
+        Tr=f("Tr"), Tf=v3("Tf"), Ni=f("Ni"), Ke=v3("Ke"),
+        Density=f("Density"), illum=f("illum").astype(jnp.int32),
+        Pm=f("Pm"), Pr=f("Pr"), Ps=f("Ps"), Pc=f("Pc"), Pcr=f("Pcr"),
+        aniso=f("aniso"), anisor=f("anisor"), subsurface=f("subsurface"),
+        subsurfaceColor=v3("subsurfaceColor"),
+        subsurfaceRadius=v3("subsurfaceRadius"),
+        map_norm=f("map_norm").astype(jnp.int32),
+    ), rec
+
+
+def apply_maps(m: Mtl, rec, uv, tex_data, tex_sizes, enable: bool = True):
+    """mapMtl (frag.glsl:210-225). `rec` is the raw record (for map indices).
+    Set enable=False to compile a texture-free fast path when the scene has
+    no material maps."""
+    if not enable:
+        return m
+
+    def idx(name):
+        return rec[..., COL[name]].astype(jnp.int32)
+
+    def override_rgb(field, map_name, multiply):
+        map_i = idx(map_name)
+        has = map_i > -1
+        tex = sample_bilinear(tex_data, tex_sizes, jnp.maximum(map_i, 0), uv)
+        if multiply:
+            tex = tex * field
+        return jnp.where(has[..., None], tex, field)
+
+    def override_scalar(field, map_name):
+        map_i = idx(map_name)
+        has = map_i > -1
+        tex = sample_bilinear(
+            tex_data, tex_sizes, jnp.maximum(map_i, 0), uv
+        )[..., 0]
+        return jnp.where(has, tex, field)
+
+    return m._replace(
+        Ka=override_rgb(m.Ka, "map_Ka", multiply=True),
+        Kd=override_rgb(m.Kd, "map_Kd", multiply=True),
+        Ks=override_rgb(m.Ks, "map_Ks", multiply=False),
+        Ke=override_rgb(m.Ke, "map_Ke", multiply=False),
+        d=override_scalar(m.d, "map_d"),
+        Tr=override_scalar(m.Tr, "map_Tr"),
+        Ns=override_scalar(m.Ns, "map_Ns"),
+        Pm=override_scalar(m.Pm, "map_Pm"),
+        Pr=override_scalar(m.Pr, "map_Pr"),
+        Ps=override_scalar(m.Ps, "map_Ps"),
+        Pc=override_scalar(m.Pc, "map_Pc"),
+    )
+
+
+def shading_normal(m: Mtl, geom_norm, tangent, uv, tex_data, tex_sizes,
+                   enable: bool = True):
+    """Tangent-space normal mapping.
+
+    PARITY.md #5: the reference uses the RAW texture RGB as the world normal
+    (frag.glsl:827 `N = sampleTexture(map_norm, uv)`) and never uses the
+    tangent it computed. We do standard TBN mapping: n_ts = tex*2-1,
+    N = normalize(T*n_ts.x + B*n_ts.y + N*n_ts.z)."""
+    if not enable:
+        return geom_norm
+    has = m.map_norm > -1
+    tex = sample_bilinear(
+        tex_data, tex_sizes, jnp.maximum(m.map_norm, 0), uv
+    )
+    n_ts = tex * 2.0 - 1.0
+    bitan = jnp.cross(geom_norm, tangent)
+    mapped = (
+        tangent * n_ts[..., 0:1]
+        + bitan * n_ts[..., 1:2]
+        + geom_norm * n_ts[..., 2:3]
+    )
+    mag = jnp.sqrt(jnp.sum(mapped * mapped, axis=-1, keepdims=True))
+    mapped = mapped / jnp.maximum(mag, 1e-20)
+    return jnp.where(has[..., None], mapped, geom_norm)
