@@ -1,0 +1,104 @@
+"""Benchmark: Mrays/s on one chip for the standard workload.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+vs_baseline is relative to the 100 Mrays/s/chip north star from
+BASELINE.json (the reference publishes no numbers of its own — BASELINE.md).
+
+Workload (BASELINE config #3 flavor): OBJ mesh scene with BVH traversal +
+analytic spheres, full path tracing at 800x600, 4 spp/frame, 6 bounces.
+Rays are counted exactly: one ray = one live scene query inside the bounce
+loop (integrator.trace carries the counter).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_scene():
+    import numpy as np
+    from pathtracer0_tpu import Scene
+
+    sc = Scene()
+    sky = np.zeros((64, 128, 3), np.float32)
+    # simple gradient sky so bounces carry varied radiance
+    for row in range(64):
+        t = row / 63.0
+        sky[row] = (0.35 + 0.3 * t, 0.45 + 0.25 * t, 0.9 - 0.3 * t)
+    sc.set_sky(sky, "sky")
+
+    sc.add_material("gray")
+    sc.set_last_mtl("Kd", (0.7, 0.68, 0.62))
+    sc.set_last_mtl("Pr", 1.0)
+    sc.add_material("metal")
+    sc.set_last_mtl("Pr", 0.05)
+    sc.set_last_mtl("Pm", 1.0)
+    sc.set_last_mtl("Ks", (0.9, 0.85, 0.7))
+    sc.add_material("glass")
+    sc.set_last_mtl("Tr", 0.9)
+    sc.set_last_mtl("Ni", 1.5)
+    sc.set_last_mtl("illum", 7)
+    sc.set_last_mtl("Tf", (0.12, 0.02, 0.1))
+    sc.set_last_mtl("Density", 0.6)
+    sc.add_material("ground")
+    sc.set_last_mtl("Kd", (0.55, 0.55, 0.55))
+    sc.set_last_mtl("Pr", 1.0)
+
+    obj = "/root/reference/src/objs/table - Copy.obj"
+    if os.path.exists(obj):
+        sc.add_object(obj, material=0, scale=(0.03, 0.03, 0.03),
+                      shift=(0.0, 0.2, 4.0), rot=(0.0, 0.5, 0.0))
+    sc.add_sphere((-1.2, 0.4, 3.2), 0.55, m=1)
+    sc.add_sphere((1.2, 0.4, 3.2), 0.55, m=2)
+    sc.add_sphere((0.0, -100.0, 4.0), 100.0, m=3)
+    return sc.build(max_leaf=4)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pathtracer0_tpu import RenderConfig
+    from pathtracer0_tpu.render.renderer import render_frame, _frame_params
+
+    dev, info = build_scene()
+    cfg = RenderConfig(width=800, height=600, samples_per_frame=4,
+                       max_bounces=6, auto_focus=False, blur=0.001)
+    kw = dict(
+        info=info, params=_frame_params(cfg), width=cfg.width,
+        height=cfg.height, spp=cfg.samples_per_frame, raytracing=True,
+        auto_focus=False, cam_size=cfg.cam_size,
+        focal_length=cfg.focal_length, blur=cfg.blur,
+        focal_distance=cfg.focal_distance,
+    )
+    cam = jnp.asarray([0.0, 1.2, 0.0], jnp.float32)
+    rot = jnp.asarray([0.25, 0.0, 0.0], jnp.float32)
+
+    # warmup / compile
+    img, rays = render_frame(dev, cam, rot, jnp.uint32(1), **kw)
+    jax.block_until_ready(img)
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "5"))
+    total_rays = 0.0
+    t0 = time.perf_counter()
+    for k in range(n_frames):
+        img, rays = render_frame(dev, cam, rot, jnp.uint32(2 + k), **kw)
+        total_rays += float(rays)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+
+    mrays = total_rays / dt / 1e6
+    print(json.dumps({
+        "metric": "path-trace throughput, OBJ+BVH scene, 800x600x4spp, "
+                  "6 bounces, single chip",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Multi-chip scaling over a jax.sharding.Mesh.
+
+The reference is single-GPU (SURVEY.md §2.3); the TPU-native scaling model
+is:
+  * scene arrays REPLICATED across the mesh (broadcast once at build time —
+    the analogue of the one-time SSBO upload),
+  * the flat ray/pixel axis SHARDED over a 1-D "rays" mesh axis — pixel
+    tiles are independent so the render step needs NO collectives,
+  * sample-splitting mode: every device renders the full image with a
+    decorrelated RNG stream and a `psum`-mean merges them — the cross-chip
+    analogue of progressive accumulation.
+
+Both modes use `shard_map` so the collectives (none / one psum) are
+explicit, and both jit to a single SPMD program.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..core import camera
+from ..render.renderer import render_rays, autofocus_distance
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D device mesh over the flat ray axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("rays",))
+
+
+def replicate_scene(scene, mesh: Mesh):
+    """Broadcast the scene pytree to every device (one-time transfer)."""
+    spec = NamedSharding(mesh, P())
+    return jax.device_put(scene, spec)
+
+
+def _pad_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def render_frame_tiled(
+    scene, cam_pos, cam_rot, frame_seed, mesh: Mesh, *,
+    info, params, width: int, height: int, spp: int, raytracing: bool,
+    auto_focus: bool, cam_size: float, focal_length: float, blur: float,
+    focal_distance: float,
+):
+    """One frame with the pixel axis sharded across the mesh.
+
+    Returns ((H, W, 3) image, rays_traced). Zero per-tile communication; the
+    only cross-device movement is the final gather when the caller reads the
+    image (XLA inserts it lazily).
+    """
+    n_dev = mesh.devices.size
+    uv_host, index_host = camera.pixel_centers(width, height)
+    n = uv_host.shape[0]
+    n_pad = _pad_to(n, n_dev)
+    uv = jnp.pad(uv_host, ((0, n_pad - n), (0, 0)))
+    index = jnp.pad(index_host, (0, n_pad - n))
+
+    uv = jax.device_put(uv, NamedSharding(mesh, P("rays", None)))
+    index = jax.device_put(index, NamedSharding(mesh, P("rays")))
+    scene = replicate_scene(scene, mesh)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(scene, uv, index, cam_pos, cam_rot, frame_seed):
+        ifd = autofocus_distance(
+            scene, cam_pos, cam_rot, focal_distance,
+            info=info, params=params, auto_focus=auto_focus,
+        )
+
+        def tile(scene, uv, index, cam_pos, cam_rot, frame_seed, ifd):
+            col, rays = render_rays(
+                scene, uv, index, cam_pos, cam_rot, frame_seed, ifd,
+                info=info, params=params, spp=spp, raytracing=raytracing,
+                cam_size=cam_size, focal_length=focal_length,
+                screen_h_ratio=height / float(width), blur=blur,
+            )
+            return col, rays[None]
+
+        col, rays = shard_map(
+            tile,
+            mesh=mesh,
+            in_specs=(P(), P("rays", None), P("rays"), P(), P(), P(), P()),
+            out_specs=(P("rays", None), P("rays")),
+            check_rep=False,
+        )(scene, uv, index, cam_pos, cam_rot, frame_seed, ifd)
+        return col, jnp.sum(rays)
+
+    col, rays = run(scene, uv, index, jnp.asarray(cam_pos, jnp.float32),
+                    jnp.asarray(cam_rot, jnp.float32),
+                    jnp.uint32(frame_seed))
+    return col[:n].reshape(height, width, 3), rays
+
+
+def render_frame_sample_split(
+    scene, cam_pos, cam_rot, frame_seed, mesh: Mesh, *,
+    info, params, width: int, height: int, spp: int, raytracing: bool,
+    auto_focus: bool, cam_size: float, focal_length: float, blur: float,
+    focal_distance: float,
+):
+    """One frame where every device renders the FULL image with a
+    decorrelated seed; a psum-mean merges the samples. Effective spp =
+    spp * n_devices. The per-device seed offset uses a large odd stride so
+    per-pixel streams never collide across devices."""
+    scene = replicate_scene(scene, mesh)
+
+    @jax.jit
+    def run(scene, cam_pos, cam_rot, frame_seed):
+        ifd = autofocus_distance(
+            scene, cam_pos, cam_rot, focal_distance,
+            info=info, params=params, auto_focus=auto_focus,
+        )
+
+        def one_device(scene, cam_pos, cam_rot, frame_seed, ifd):
+            dev = jax.lax.axis_index("rays").astype(jnp.uint32)
+            seed = frame_seed + dev * jnp.uint32(2654435761)
+            uv, index = camera.pixel_centers(width, height)
+            col, rays = render_rays(
+                scene, uv, index, cam_pos, cam_rot, seed, ifd,
+                info=info, params=params, spp=spp, raytracing=raytracing,
+                cam_size=cam_size, focal_length=focal_length,
+                screen_h_ratio=height / float(width), blur=blur,
+            )
+            n_dev = jax.lax.psum(1, "rays")
+            col = jax.lax.psum(col, "rays") / n_dev
+            rays = jax.lax.psum(rays, "rays")
+            return col[None], rays[None]
+
+        col, rays = shard_map(
+            one_device,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P("rays", None, None), P("rays")),
+            check_rep=False,
+        )(scene, cam_pos, cam_rot, frame_seed, ifd)
+        return col[0], rays[0]
+
+    col, rays = run(scene, jnp.asarray(cam_pos, jnp.float32),
+                    jnp.asarray(cam_rot, jnp.float32),
+                    jnp.uint32(frame_seed))
+    return col.reshape(height, width, 3), rays

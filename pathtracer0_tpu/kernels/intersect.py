@@ -18,9 +18,10 @@ makes refraction through analytic ellipsoids actually work.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-MISS = jnp.float32(1e30)
-EPSILON = jnp.float32(1e-10)  # frag.glsl:228
+MISS = np.float32(1e30)
+EPSILON = np.float32(1e-10)  # frag.glsl:228
 
 
 def ray_tri(o, d, v1, v2, v3):

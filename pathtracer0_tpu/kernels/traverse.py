@@ -187,6 +187,32 @@ def _ray_scene_scalar(o, d, scene, info, stack_depth: int):
         )
         kind = jnp.where(tri_idx >= 0, 1, kind)
 
+    if info.num_implicits > 0:
+        # Implicit surfaces (frag.glsl:578-605): local frame O=(o-shift)/
+        # scale, D=d/scale, optionally rotated; the returned t is in the
+        # LOCAL parameterization, compared directly against world closest_t
+        # (reference quirk kept — see shade/implicits.py).
+        from ..shade import implicits as imp_mod
+
+        shift = scene.imp_shift
+        scl = scene.imp_scale
+        rot = scene.imp_rot
+        O = (o - shift) / scl
+        D = d / scl
+        rotated = vm.length(rot) > 0.0
+        Or = jnp.where(rotated[:, None], vm.rotate(O, rot), O)
+        Dr = jnp.where(rotated[:, None], vm.rotate(D, rot), D)
+        ts = imp_mod.ray_implicit(Or, Dr, scene.imp_fn)
+        ts = ts[: info.num_implicits]
+        besti = jnp.argmin(ts)
+        best_ti = ts[besti]
+        hit_imp = best_ti < closest
+        closest = jnp.where(hit_imp, best_ti, closest)
+        kind = jnp.where(hit_imp, 2, kind)
+        prim = jnp.where(hit_imp, besti.astype(jnp.int32), prim)
+        tri_idx = jnp.where(hit_imp, -1, tri_idx)
+        obj = jnp.where(hit_imp, -1, obj)
+
     if info.num_ellipsoids > 0:
         # Vectorized over all ellipsoids at once (frag.glsl:606-631)
         rot = scene.ell_rot
@@ -227,7 +253,8 @@ def ray_scene(origins, directions, scene, info, stack_depth: int = 64):
     return jax.vmap(fn)(origins, directions)
 
 
-def surface_sample(hit: Hit, origins, directions, scene) -> SurfaceSample:
+def surface_sample(hit: Hit, origins, directions, scene,
+                   info=None) -> SurfaceSample:
     """Interpolate normal/UV/tangent at the final hits (frag.glsl:483-519
     leaf bookkeeping + frag.glsl:606-631 ellipsoid normals), deferred to
     once-per-ray. `origins` must be the nudged origins returned by
@@ -280,6 +307,31 @@ def surface_sample(hit: Hit, origins, directions, scene) -> SurfaceSample:
     norm = jnp.where(is_tri, tri_norm, jnp.where(is_ell, ell_norm, 0.0))
     mat = jnp.where(hit.kind == 1, tri_mat,
                     jnp.where(hit.kind == 3, ell_mat, -1))
+
+    if info is not None and info.num_implicits > 0:
+        # Implicit normals: N = -normalize(gradient) in the local frame,
+        # rotated back when the implicit is rotated (frag.glsl:596-600).
+        from ..shade import implicits as imp_mod
+
+        iprim = jnp.maximum(hit.prim, 0)
+        ishift = scene.imp_shift[iprim]
+        iscale = scene.imp_scale[iprim]
+        irot = scene.imp_rot[iprim]
+        ifn = scene.imp_fn[iprim]
+        O = (origins - ishift) / iscale
+        D = directions / iscale
+        irotated = (vm.length(irot) > 0.0)[..., None]
+        Or = jnp.where(irotated, vm.rotate(O, irot), O)
+        Dr = jnp.where(irotated, vm.rotate(D, irot), D)
+        p_local = Or + hit.t[..., None] * Dr
+        grad = imp_mod.gradient(p_local, ifn)
+        n_imp = -vm.normalize(grad)
+        n_imp = jnp.where(irotated, vm.rotate_back(n_imp, irot), n_imp)
+        is_imp = (hit.kind == 2)[..., None]
+        norm = jnp.where(is_imp, n_imp, norm)
+        mat = jnp.where(hit.kind == 2, scene.imp_mat[iprim], mat)
+        # hit location in WORLD space uses the local-t quirk consistently
+        loc = jnp.where(is_imp, origins + hit.t[..., None] * directions, loc)
     uv = jnp.where(is_tri, uv, -1.0)
     tangent = jnp.where(is_tri, tangent, 0.0)
     has_uv = has_uv & (hit.kind == 1)

@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import math as vm
 from ..core import rng as vrng
@@ -31,7 +32,7 @@ from ..kernels import traverse
 from ..shade import bsdf, mtl as mtl_mod
 from ..scene.texture import sky_color
 
-AIR_IOR = jnp.float32(1.0029)  # frag.glsl:816
+AIR_IOR = np.float32(1.0029)  # frag.glsl:816
 
 
 class TraceParams(NamedTuple):
@@ -44,9 +45,9 @@ class TraceParams(NamedTuple):
     normal_mapping: bool = True
 
 
-def _shade_setup(hit, o_nudged, d, scene, params):
+def _shade_setup(hit, o_nudged, d, scene, params, info=None):
     """Closest hit -> surface attrs + mapped material + flipped normal."""
-    surf = traverse.surface_sample(hit, o_nudged, d, scene)
+    surf = traverse.surface_sample(hit, o_nudged, d, scene, info=info)
     m, rec = mtl_mod.decode(scene.materials, surf.mat)
     m = mtl_mod.apply_maps(
         m, rec, surf.uv, scene.tex_data, scene.tex_sizes,
@@ -61,7 +62,9 @@ def _shade_setup(hit, o_nudged, d, scene, params):
 
 def trace(origins, directions, state, scene, info, params: TraceParams):
     """Path integrator over a megabatch: origins/directions (B, 3), state
-    (B,) uint32 RNG. Returns (incLight (B, 3), new RNG state)."""
+    (B,) uint32 RNG. Returns (incLight (B, 3), new RNG state, rays_traced)
+    where rays_traced counts scene queries issued for live rays (the
+    Mrays/s accounting unit)."""
     B = origins.shape[0]
     f3 = lambda v: jnp.full((B, 3), v, jnp.float32)
 
@@ -82,6 +85,7 @@ def trace(origins, directions, state, scene, info, params: TraceParams):
         in_object: jax.Array
         enter_loc: jax.Array
         state: jax.Array
+        rays: jax.Array  # scene queries issued for live rays
 
     init = C(
         bounce=jnp.int32(0),
@@ -95,6 +99,7 @@ def trace(origins, directions, state, scene, info, params: TraceParams):
         in_object=jnp.zeros((B,), bool),
         enter_loc=f3(0.0),
         state=state,
+        rays=jnp.zeros((), jnp.float32),
     )
 
     def cond(c):
@@ -107,7 +112,8 @@ def trace(origins, directions, state, scene, info, params: TraceParams):
         is_hit = c.alive & hit.is_hit
         is_miss = c.alive & ~hit.is_hit
 
-        surf, m, n_raw = _shade_setup(hit, o_nudged, c.d, scene, params)
+        surf, m, n_raw = _shade_setup(hit, o_nudged, c.d, scene, params,
+                                      info=info)
         new_o = surf.loc
 
         nd = vm.dot(n_raw, c.d)
@@ -193,10 +199,11 @@ def trace(origins, directions, state, scene, info, params: TraceParams):
             in_object=jnp.where(is_hit, new_in_object, c.in_object),
             enter_loc=upd(new_enter_loc, c.enter_loc),
             state=new_state,
+            rays=c.rays + jnp.sum(c.alive.astype(jnp.float32)),
         )
 
     final = jax.lax.while_loop(cond, body, init)
-    return final.inc, final.state
+    return final.inc, final.state, final.rays
 
 
 def direct_diffuse(origins, directions, scene, info, params: TraceParams):
@@ -206,7 +213,8 @@ def direct_diffuse(origins, directions, scene, info, params: TraceParams):
     hit, o_nudged = traverse.ray_scene(
         origins, directions, scene, info, stack_depth=params.stack_depth
     )
-    surf, m, n = _shade_setup(hit, o_nudged, directions, scene, params)
+    surf, m, n = _shade_setup(hit, o_nudged, directions, scene, params,
+                              info=info)
 
     up_dot = n[..., 1]  # dot((0,1,0), N)
     col = m.Ka + m.Kd * 0.2 + m.Kd * up_dot[..., None] + m.Ke

@@ -41,6 +41,74 @@ def _frame_params(config: RenderConfig):
     )
 
 
+def render_rays(
+    scene: DeviceScene,
+    uv,
+    index,
+    cam_pos,
+    cam_rot,
+    frame_seed,
+    ifd,
+    *,
+    info: StaticSceneInfo,
+    params: TraceParams,
+    spp: int,
+    raytracing: bool,
+    cam_size: float,
+    focal_length: float,
+    screen_h_ratio: float,
+    blur: float,
+):
+    """Core wavefront step over a FLAT ray batch: uv (N, 2), index (N,).
+    Returns (color (N, 3), rays_traced scalar). This is the unit that
+    shards over a device mesh (dist/mesh.py) — pixels are independent, the
+    scene is replicated, so no collectives are needed until image assembly.
+    """
+    direction = camera.primary_directions(
+        uv, cam_rot, cam_size, focal_length, screen_h_ratio
+    )
+    state = vrng.seed(index, frame_seed)
+    origin = jnp.broadcast_to(cam_pos, direction.shape)
+    ifd_b = jnp.broadcast_to(ifd, direction.shape[:-1])
+
+    def sample_body(_, carry):
+        col_sum, state, rays = carry
+        o_j, d_j, state = camera.dof_ray(
+            origin, direction, cam_rot, jnp.float32(blur), ifd_b, state
+        )
+        if raytracing:
+            col, state, r = integrator.trace(
+                o_j, d_j, state, scene, info, params
+            )
+        else:
+            col = integrator.direct_diffuse(o_j, d_j, scene, info, params)
+            r = jnp.float32(uv.shape[0])
+        return col_sum + col, state, rays + r
+
+    col_sum, state, rays = jax.lax.fori_loop(
+        0, spp, sample_body,
+        (jnp.zeros(uv.shape[:-1] + (3,), jnp.float32), state,
+         jnp.zeros((), jnp.float32)),
+    )
+    return col_sum / jnp.float32(spp), rays
+
+
+def autofocus_distance(scene, cam_pos, cam_rot, focal_distance, *, info,
+                       params, auto_focus: bool):
+    """Resolve the internal focal distance: the center-ray hit distance when
+    autofocus is on (frag.glsl:901-906), else the configured value."""
+    ifd = jnp.float32(focal_distance)
+    if auto_focus:
+        probe_d = camera.center_probe_direction(cam_rot)
+        probe_hit, _ = traverse.ray_scene(
+            cam_pos[None], probe_d[None], scene, info,
+            stack_depth=params.stack_depth,
+        )
+        mid = jnp.where(probe_hit.is_hit[0], probe_hit.t[0], -1.0)
+        ifd = jnp.where(mid > 0.0, mid, ifd)
+    return ifd
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("info", "params", "width", "height", "spp",
@@ -65,46 +133,19 @@ def render_frame(
     blur: float,
     focal_distance: float,
 ):
-    """One frame: (H, W, 3) float32 mean of `spp` samples per pixel."""
+    """One frame: ((H, W, 3) float32 mean of `spp` samples, rays traced)."""
     uv, index = camera.pixel_centers(width, height)
-    h_ratio = height / float(width)
-    direction = camera.primary_directions(
-        uv, cam_rot, cam_size, focal_length, h_ratio
+    ifd = autofocus_distance(
+        scene, cam_pos, cam_rot, focal_distance,
+        info=info, params=params, auto_focus=auto_focus,
     )
-    state = vrng.seed(index, frame_seed)
-    origin = jnp.broadcast_to(cam_pos, direction.shape)
-
-    # Autofocus: probe the center ray once (frag.glsl:901-906).
-    ifd = jnp.float32(focal_distance)
-    if auto_focus:
-        probe_d = camera.center_probe_direction(cam_rot)
-        probe_hit, _ = traverse.ray_scene(
-            cam_pos[None], probe_d[None], scene, info,
-            stack_depth=params.stack_depth,
-        )
-        mid = jnp.where(probe_hit.is_hit[0], probe_hit.t[0], -1.0)
-        ifd = jnp.where(mid > 0.0, mid, ifd)
-    ifd_b = jnp.broadcast_to(ifd, direction.shape[:-1])
-
-    def sample_body(_, carry):
-        col_sum, state = carry
-        o_j, d_j, state = camera.dof_ray(
-            origin, direction, cam_rot, jnp.float32(blur), ifd_b, state
-        )
-        if raytracing:
-            col, state = integrator.trace(
-                o_j, d_j, state, scene, info, params
-            )
-        else:
-            col = integrator.direct_diffuse(o_j, d_j, scene, info, params)
-        return col_sum + col, state
-
-    col_sum, state = jax.lax.fori_loop(
-        0, spp, sample_body,
-        (jnp.zeros_like(direction), state),
+    col, rays = render_rays(
+        scene, uv, index, cam_pos, cam_rot, frame_seed, ifd,
+        info=info, params=params, spp=spp, raytracing=raytracing,
+        cam_size=cam_size, focal_length=focal_length,
+        screen_h_ratio=height / float(width), blur=blur,
     )
-    col = col_sum / jnp.float32(spp)
-    return col.reshape(height, width, 3)
+    return col.reshape(height, width, 3), rays
 
 
 @functools.partial(
@@ -170,6 +211,7 @@ class Renderer:
         )
         self._count = 0
         self._frame_index = 0
+        self.rays_traced = 0.0  # samples/s + Mrays/s accounting
         self._rng = np.random.RandomState(self.seed)
 
     # -- state ----------------------------------------------------------
@@ -202,7 +244,7 @@ class Renderer:
                 cam_size=cfg.cam_size, focal_length=cfg.focal_length,
             )
         else:
-            frame = render_frame(
+            frame, rays = render_frame(
                 self.scene, self.cam_pos, self.cam_rot,
                 jnp.uint32(frame_seed),
                 info=self.info, params=_frame_params(cfg),
@@ -212,6 +254,7 @@ class Renderer:
                 focal_length=cfg.focal_length, blur=cfg.blur,
                 focal_distance=cfg.focal_distance,
             )
+            self.rays_traced += float(rays)
         self._sum = self._sum + frame
         self._count += 1
         self._frame_index += 1

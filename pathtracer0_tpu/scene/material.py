@@ -175,6 +175,20 @@ def parse_mtl(path: str, parent_dir: str, materials: List[Material],
                     mat.Density = float(vals[1])
                 elif key == "illum":
                     mat.illum = int(vals[1])
+                elif key == "Pm":
+                    mat.Pm = float(vals[1])
+                elif key == "Pr":
+                    mat.Pr = float(vals[1])
+                elif key == "Ps":
+                    mat.Ps = float(vals[1])
+                elif key == "Pc":
+                    mat.Pc = float(vals[1])
+                elif key == "Pcr":
+                    mat.Pcr = float(vals[1])
+                elif key == "aniso":
+                    mat.aniso = float(vals[1])
+                elif key == "anisor":
+                    mat.anisor = float(vals[1])
                 elif key == "subsurface":
                     mat.subsurface = float(vals[1])
                 elif key == "subsurfaceColor":

@@ -18,10 +18,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _GR = 0.5 + 5.0 ** 0.5 / 2.0   # golden ratio (frag.glsl:229)
 _GR2 = _GR * _GR
-_NAN = jnp.float32(float("nan"))
+_NAN = np.float32("nan")
 
 
 def funcs(p, fn):

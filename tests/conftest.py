@@ -1,17 +1,22 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 This is the standard JAX trick for exercising multi-chip sharding without
-hardware (SURVEY.md §4): set the platform/device-count flags BEFORE jax
-initializes.
+hardware (SURVEY.md §4). Note: this environment's sitecustomize registers
+the 'axon' TPU backend and force-sets jax_platforms='axon,cpu' in EVERY
+process, so setting the env var is not enough — we override the config back
+to cpu after import, before any backend initializes.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
