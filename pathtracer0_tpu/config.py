@@ -51,6 +51,7 @@ class RenderConfig:
     sah_planes: int = 5             # OPTIMIZATION_LEVEL: candidate planes per axis
 
     # TPU-specific execution knobs (no reference equivalent)
+    pallas: str = "auto"            # packet-traversal kernel mode
     ray_batch_size: int = 1 << 17   # rays per device megabatch
     traversal_stack_depth: int = 64  # frag.glsl:465 `int stack[64]`
     refraction_stack_depth: int = 10  # frag.glsl:136 MAX_REFRACTIONSTACK

@@ -241,12 +241,160 @@ def _ray_scene_scalar(o, d, scene, info, stack_depth: int):
                prim=prim), o
 
 
-def ray_scene(origins, directions, scene, info, stack_depth: int = 64):
+def _merge_analytic_batched(o, d, scene, info, closest, tri_idx, uu, vv,
+                            obj, kind, prim):
+    """Batched ellipsoid + implicit closest-hit merge for the Pallas path
+    (same semantics as the scalar blocks in _ray_scene_scalar)."""
+    B = o.shape[0]
+    if info.num_implicits > 0:
+        from ..shade import implicits as imp_mod
+
+        ne = info.num_implicits
+        shift = scene.imp_shift[:ne]
+        scl = scene.imp_scale[:ne]
+        rot = scene.imp_rot[:ne]
+        O = (o[:, None, :] - shift[None]) / scl[None]     # (B, I, 3)
+        D = d[:, None, :] / scl[None]
+        rotated = (vm.length(rot) > 0.0)[None, :, None]
+        rotb = jnp.broadcast_to(rot[None], O.shape)
+        Or = jnp.where(rotated, vm.rotate(O, rotb), O)
+        Dr = jnp.where(rotated, vm.rotate(D, rotb), D)
+        fnb = jnp.broadcast_to(scene.imp_fn[None, :ne], (B, ne))
+        ts = imp_mod.ray_implicit(Or, Dr, fnb)            # (B, I)
+        besti = jnp.argmin(ts, axis=1)
+        best_t = jnp.take_along_axis(ts, besti[:, None], axis=1)[:, 0]
+        hit_imp = best_t < closest
+        closest = jnp.where(hit_imp, best_t, closest)
+        kind = jnp.where(hit_imp, 2, kind)
+        prim = jnp.where(hit_imp, besti.astype(jnp.int32), prim)
+        tri_idx = jnp.where(hit_imp, -1, tri_idx)
+        obj = jnp.where(hit_imp, -1, obj)
+
+    if info.num_ellipsoids > 0:
+        ne = info.num_ellipsoids
+        rot = scene.ell_rot[:ne]
+        rotated = (vm.length(rot) > 0.0)[None, :, None]
+        rotb = jnp.broadcast_to(rot[None], (B, ne, 3))
+        ob = jnp.broadcast_to(o[:, None, :], (B, ne, 3))
+        db = jnp.broadcast_to(d[:, None, :], (B, ne, 3))
+        ro = jnp.where(rotated, vm.rotate(ob, rotb), ob)
+        rd = jnp.where(rotated, vm.rotate(db, rotb), db)
+        ts = intersect.ray_ellipsoid(
+            ro, rd, scene.ell_c[None, :ne], scene.ell_rad[None, :ne],
+            scene.ell_stretch[None, :ne],
+        )                                                  # (B, E)
+        best = jnp.argmin(ts, axis=1)
+        best_t = jnp.take_along_axis(ts, best[:, None], axis=1)[:, 0]
+        hit_ell = best_t < closest
+        closest = jnp.where(hit_ell, best_t, closest)
+        kind = jnp.where(hit_ell, 3, kind)
+        prim = jnp.where(hit_ell, best.astype(jnp.int32), prim)
+        tri_idx = jnp.where(hit_ell, -1, tri_idx)
+        obj = jnp.where(hit_ell, -1, obj)
+
+    return closest, tri_idx, uu, vv, obj, kind, prim
+
+
+def _ray_scene_pallas(origins, directions, scene, info, active,
+                      interpret: bool, sort_rays: bool = False,
+                      block_rows: int = 256):
+    """Packet-traversal scene query (kernels/wavefront.py) + batched
+    analytic-primitive merge.
+
+    sort_rays: reorder rays by direction octant before packetizing (stable,
+    so image order is kept within a bucket) — bounce rays regain packet
+    coherence; results are scattered back to original order.
+    """
+    from . import wavefront
+
+    o = origins + jnp.float32(1e-4) * directions  # frag.glsl:549
+    B = o.shape[0]
+    rb = wavefront.LANES * block_rows
+    while rb > 1024 and rb > B:
+        block_rows //= 2
+        rb = wavefront.LANES * block_rows
+    b_pad = ((B + rb - 1) // rb) * rb
+    pad = b_pad - B
+
+    if active is None:
+        t_init = jnp.full((B,), MISS)
+    else:
+        # dead lanes get t_init=0: they prune every node and cost nothing
+        t_init = jnp.where(active, MISS, 0.0)
+
+    o_in, d_in = o, directions
+    if sort_rays:
+        octant = (
+            (directions[:, 0] < 0).astype(jnp.int32) * 4
+            + (directions[:, 1] < 0).astype(jnp.int32) * 2
+            + (directions[:, 2] < 0).astype(jnp.int32)
+        )
+        order = jnp.argsort(octant, stable=True)
+        o_in = o[order]
+        d_in = directions[order]
+        t_init = t_init[order]
+
+    o3 = jnp.concatenate([o_in, jnp.zeros((pad, 3), o.dtype)]).T
+    d3 = jnp.concatenate(
+        [d_in, jnp.ones((pad, 3), directions.dtype)]
+    ).T
+    t_init = jnp.concatenate([t_init, jnp.zeros((pad,), jnp.float32)])
+
+    leaf_cap = max(info.max_leaf_size, 1)
+    t, uu, vv, idx = wavefront.trace_forest(
+        o3, d3, t_init, scene.wf_roots, scene.wf_nodes_f,
+        scene.wf_nodes_i, scene.wf_tris,
+        leaf_cap=leaf_cap, block_rows=block_rows, interpret=interpret,
+    )
+    t, uu, vv, idx = t[:B], uu[:B], vv[:B], idx[:B]
+    if sort_rays:
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(B, dtype=order.dtype)
+        )
+        t, uu, vv, idx = t[inv], uu[inv], vv[inv], idx[inv]
+    tri_idx = jnp.where(
+        idx >= 0, scene.wf_perm[jnp.maximum(idx, 0)], -1
+    ).astype(jnp.int32)
+    obj = jnp.where(
+        tri_idx >= 0, scene.tri_obj[jnp.maximum(tri_idx, 0)], -1
+    ).astype(jnp.int32)
+    kind = jnp.where(tri_idx >= 0, 1, 0).astype(jnp.int32)
+    prim = jnp.full((B,), -1, jnp.int32)
+    closest = t
+
+    closest, tri_idx, uu, vv, obj, kind, prim = _merge_analytic_batched(
+        o, directions, scene, info, closest, tri_idx, uu, vv, obj, kind,
+        prim,
+    )
+    return Hit(t=closest, tri=tri_idx, u=uu, v=vv, obj=obj, kind=kind,
+               prim=prim), o
+
+
+def ray_scene(origins, directions, scene, info, stack_depth: int = 64,
+              pallas: str = "auto", active=None, sort_rays: bool = False):
     """Batched closest-hit query: origins/directions (B, 3).
 
-    Returns (Hit, nudged_origins). Wrap in jit at the call site (the
-    integrator jits whole megabatch steps).
+    pallas: "auto" (packet kernel when compiled for TPU and the forest fits
+    VMEM), "on", "interpret" (kernel in interpreter mode, for CPU tests),
+    or "off" (vmapped XLA traversal).
+    `active` optionally masks dead rays so they cost nothing (Pallas path).
+
+    Returns (Hit, nudged_origins).
     """
+    use_pallas = False
+    interpret = False
+    if pallas == "auto":
+        use_pallas = info.wf_ok and jax.default_backend() != "cpu"
+    elif pallas == "on":
+        use_pallas = info.wf_ok
+    elif pallas == "interpret":
+        use_pallas = info.wf_ok
+        interpret = True
+    if use_pallas and info.num_objects > 0:
+        return _ray_scene_pallas(
+            origins, directions, scene, info, active, interpret,
+            sort_rays=sort_rays,
+        )
     fn = functools.partial(
         _ray_scene_scalar, scene=scene, info=info, stack_depth=stack_depth
     )

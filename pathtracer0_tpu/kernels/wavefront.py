@@ -1,0 +1,267 @@
+"""Pallas packet-traversal kernel: the Mrays/s-critical BVH intersector.
+
+Why this shape: the straightforward port (per-ray stack walk, vmapped —
+kernels/traverse.py) bottoms out on per-lane gathers and stack scatters,
+which TPUs execute catastrophically slowly (~0.1 Mrays/s measured on v5e)
+— the VPU has no hardware gather. This kernel restructures traversal as
+PACKET traversal with uniform control flow (Benthin-style speculative
+traversal adapted to the TPU's 8x128 VPU):
+
+  * each grid step owns a BLOCK of rays (RS x 128 lanes, SoA in VMEM);
+  * ONE shared traversal stack per block lives in SMEM with a scalar stack
+    pointer — control flow is uniform, so node data is loaded with SCALAR
+    reads and broadcast to all lanes (no gathers);
+  * a node is visited iff ANY ray in the block wants it (its AABB entry
+    distance beats the ray's current closest-t); per-ray pruning masks the
+    rest;
+  * leaves test up to LEAF_CAP triangles, 9 scalar loads each, against the
+    whole block at VPU width (the triangle table is pre-reordered into leaf
+    order, so leaves are CONTIGUOUS rows — one more gather removed);
+  * the whole BVH forest traverses in one launch: all object roots are
+    pushed initially (closest-t pruning makes cross-object traversal
+    exactly as effective as the reference's sequential object loop,
+    frag.glsl:563-577).
+
+Scene-table layout is dictated by a Mosaic constraint: dynamic scalar loads
+must index the SUBLANE dimension — a dynamic lane index fails to compile
+("cannot statically prove that index in dimension 1 is a multiple of 128").
+So tables are row-per-entity with STATIC lane offsets:
+  * nodes_f (N, 8) f32  — row n: min xyz, max xyz, pad, pad
+  * nodes_i (N, 4) i32  — row n: left, right, leaf_row, leaf_tri_count
+  * tris    (L, 128) f32 — ONE LEAF PER ROW: triangle j of the leaf packs
+    v1/e1/e2 into lanes [9j, 9j+9); j is the (unrolled, static) leaf-loop
+    index, so every lane offset is static. leaf_cap <= 14.
+
+Coherent packets (primary rays, tiled) visit near-minimal node sets;
+incoherent bounce packets degrade toward the union of per-ray node sets —
+the integrator sorts rays by direction octant between bounces to keep
+packets coherent.
+
+The caller gates on table size (VMEM residency) and falls back to the XLA
+path beyond.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+MISS = np.float32(1e30)
+EPSILON = np.float32(1e-10)
+STACK_DEPTH = 160
+MAX_ROOTS = 32
+
+
+def _traverse_kernel(
+    roots_ref,      # scalar-prefetch: (MAX_ROOTS + 1,) i32: [count, roots...]
+    nodes_f_ref,    # (N, 8) f32 row: min x/y/z, max x/y/z, pad, pad
+    nodes_i_ref,    # (N, 4) i32 row: left, right, leaf_row, leaf_tri_count
+    tris_ref,       # (L, 128) f32 leaf-packed triangle rows
+    o_ref,          # (3, RS, 128) f32 ray origins (block)
+    d_ref,          # (3, RS, 128) f32 ray directions (block)
+    tin_ref,        # (RS, 128) f32 initial closest-t (0 for dead rays)
+    t_ref,          # out (RS, 128) f32
+    u_ref,          # out (RS, 128) f32
+    v_ref,          # out (RS, 128) f32
+    idx_ref,        # out (RS, 128) i32 = leaf_row * leaf_cap + j
+    stack_ref,      # SMEM scratch (STACK_DEPTH,) i32
+    *,
+    leaf_cap: int,
+):
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
+
+    t_ref[...] = tin_ref[...]
+    u_ref[...] = jnp.zeros_like(u_ref)
+    v_ref[...] = jnp.zeros_like(v_ref)
+    idx_ref[...] = jnp.full_like(idx_ref, -1)
+
+    n_roots = roots_ref[0]
+    for k in range(MAX_ROOTS):
+        @pl.when(k < n_roots)
+        def _():
+            stack_ref[k] = roots_ref[k + 1]
+
+    def entry_dist(node):
+        """Slab test of one node's AABB against the whole block
+        (frag.glsl:408-419 semantics)."""
+        tx1 = (nodes_f_ref[node, 0] - ox) * inv_dx
+        tx2 = (nodes_f_ref[node, 3] - ox) * inv_dx
+        ty1 = (nodes_f_ref[node, 1] - oy) * inv_dy
+        ty2 = (nodes_f_ref[node, 4] - oy) * inv_dy
+        tz1 = (nodes_f_ref[node, 2] - oz) * inv_dz
+        tz2 = (nodes_f_ref[node, 5] - oz) * inv_dz
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+            jnp.minimum(tz1, tz2),
+        )
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+            jnp.maximum(tz1, tz2),
+        )
+        hit = (t_far >= t_near) & (t_far > 0.0)
+        return jnp.where(hit, jnp.maximum(t_near, 0.0), MISS)
+
+    def leaf_fn(sp, node):
+        leaf_row = nodes_i_ref[node, 2]
+        count = nodes_i_ref[node, 3]
+
+        for j in range(leaf_cap):  # static unroll: lane offsets stay static
+            @pl.when(j < count)
+            def _(j=j):
+                base = 9 * j
+                v1x = tris_ref[leaf_row, base + 0]
+                v1y = tris_ref[leaf_row, base + 1]
+                v1z = tris_ref[leaf_row, base + 2]
+                e1x = tris_ref[leaf_row, base + 3]
+                e1y = tris_ref[leaf_row, base + 4]
+                e1z = tris_ref[leaf_row, base + 5]
+                e2x = tris_ref[leaf_row, base + 6]
+                e2y = tris_ref[leaf_row, base + 7]
+                e2z = tris_ref[leaf_row, base + 8]
+                # Moller-Trumbore at VPU width (frag.glsl:351-372)
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = 1.0 / det
+                sx = ox - v1x
+                sy = oy - v1y
+                sz = oz - v1z
+                u = (sx * px + sy * py + sz * pz) * inv_det
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = (
+                    (jnp.abs(det) >= EPSILON)
+                    & (u >= 0.0)
+                    & (u <= 1.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > EPSILON)
+                    & (t < t_ref[...])
+                )
+                t_ref[...] = jnp.where(ok, t, t_ref[...])
+                u_ref[...] = jnp.where(ok, u, u_ref[...])
+                v_ref[...] = jnp.where(ok, v, v_ref[...])
+                idx_ref[...] = jnp.where(
+                    ok, leaf_row * leaf_cap + j, idx_ref[...]
+                )
+        return sp
+
+    def internal_fn(sp, node):
+        left = nodes_i_ref[node, 0]
+        right = nodes_i_ref[node, 1]
+        enter_l = entry_dist(left)
+        enter_r = entry_dist(right)
+        want_l = enter_l < t_ref[...]
+        want_r = enter_r < t_ref[...]
+        hit_l = jnp.any(want_l)
+        hit_r = jnp.any(want_r)
+        # near-first pop order: push the farther child first, ordered by
+        # the closest active entry distance in the block
+        min_l = jnp.min(jnp.where(want_l, enter_l, MISS))
+        min_r = jnp.min(jnp.where(want_r, enter_r, MISS))
+        l_far = min_l > min_r
+        first = jnp.where(l_far, left, right)       # far child
+        second = jnp.where(l_far, right, left)      # near child
+        push_first = jnp.where(l_far, hit_l, hit_r)
+        push_second = jnp.where(l_far, hit_r, hit_l)
+        # branch-free pushes: always write, advance sp only for real pushes
+        # (garbage above sp is never read)
+        stack_ref[jnp.minimum(sp, STACK_DEPTH - 1)] = jnp.where(
+            push_first, first, second
+        )
+        sp1 = sp + push_first.astype(jnp.int32)
+        stack_ref[jnp.minimum(sp1, STACK_DEPTH - 1)] = second
+        sp2 = sp1 + push_second.astype(jnp.int32)
+        return sp2
+
+    def cond(sp):
+        return sp > 0
+
+    def body(sp):
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        is_leaf = nodes_i_ref[node, 0] == -1
+        return jax.lax.cond(is_leaf, leaf_fn, internal_fn, sp, node)
+
+    jax.lax.while_loop(cond, body, n_roots)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf_cap", "block_rows", "interpret"),
+)
+def trace_forest(
+    o3,        # (3, R) f32 ray origins, R % (block_rows*128) == 0
+    d3,        # (3, R) f32 directions
+    t_init,    # (R,) f32 initial closest-t (0 disables a lane)
+    roots,     # (MAX_ROOTS + 1,) i32: [count, root ids..., padding]
+    nodes_f,   # (N, 8) f32
+    nodes_i,   # (N, 4) i32
+    tris,      # (L, 128) f32 leaf-packed triangle rows
+    *,
+    leaf_cap: int,
+    block_rows: int = 256,
+    interpret: bool = False,
+):
+    """Closest-hit over the BVH forest for R rays.
+
+    Returns (t, u, v, idx) each (R,); idx = leaf_row * leaf_cap + slot
+    (-1 for no hit) — map through wf_perm for original triangle ids.
+    """
+    rb = block_rows * LANES
+    r = o3.shape[1]
+    assert r % rb == 0, (r, rb)
+    grid = (r // rb,)
+    o_b = o3.reshape(3, r // LANES, LANES)
+    d_b = d3.reshape(3, r // LANES, LANES)
+    t_b = t_init.reshape(r // LANES, LANES)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes_f
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes_i
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tris
+            pl.BlockSpec((3, block_rows, LANES), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((3, block_rows, LANES), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0)),
+            pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0)),
+            pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0)),
+            pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+        ],
+    )
+    shape = (r // LANES, LANES)
+    t, u, v, idx = pl.pallas_call(
+        functools.partial(_traverse_kernel, leaf_cap=leaf_cap),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.int32),
+        ],
+        interpret=interpret,
+    )(roots, nodes_f, nodes_i, tris, o_b, d_b, t_b)
+    return (
+        t.reshape(r), u.reshape(r), v.reshape(r), idx.reshape(r)
+    )

@@ -43,6 +43,10 @@ class TraceParams(NamedTuple):
     refraction_stack: int = 10
     use_textures: bool = True
     normal_mapping: bool = True
+    # "auto" | "on" | "interpret" | "off" — see kernels.traverse.ray_scene
+    pallas: str = "auto"
+    # sort rays by direction octant between bounces (packet coherence)
+    sort_rays: bool = True
 
 
 def _shade_setup(hit, o_nudged, d, scene, params, info=None):
@@ -106,8 +110,12 @@ def trace(origins, directions, state, scene, info, params: TraceParams):
         return (c.bounce < params.max_bounces) & jnp.any(c.alive)
 
     def body(c):
+        # Octant-sorting restores packet coherence for bounce rays; the
+        # sort is stable, so image-ordered primary rays stay coherent too.
         hit, o_nudged = traverse.ray_scene(
-            c.o, c.d, scene, info, stack_depth=params.stack_depth
+            c.o, c.d, scene, info, stack_depth=params.stack_depth,
+            pallas=params.pallas, active=c.alive,
+            sort_rays=params.sort_rays,
         )
         is_hit = c.alive & hit.is_hit
         is_miss = c.alive & ~hit.is_hit
@@ -211,7 +219,8 @@ def direct_diffuse(origins, directions, scene, info, params: TraceParams):
     col = Ka + 0.2*Kd + Kd*dot(up, N) + Ke, with the thickness-probe
     subsurface approximation; sky on miss."""
     hit, o_nudged = traverse.ray_scene(
-        origins, directions, scene, info, stack_depth=params.stack_depth
+        origins, directions, scene, info, stack_depth=params.stack_depth,
+        pallas=params.pallas,
     )
     surf, m, n = _shade_setup(hit, o_nudged, directions, scene, params,
                               info=info)

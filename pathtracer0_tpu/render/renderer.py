@@ -38,6 +38,7 @@ def _frame_params(config: RenderConfig):
         max_bounces=config.max_bounces,
         stack_depth=config.traversal_stack_depth,
         refraction_stack=config.refraction_stack_depth,
+        pallas=config.pallas,
     )
 
 
@@ -100,9 +101,11 @@ def autofocus_distance(scene, cam_pos, cam_rot, focal_distance, *, info,
     ifd = jnp.float32(focal_distance)
     if auto_focus:
         probe_d = camera.center_probe_direction(cam_rot)
+        # single probe ray: the vmapped path is cheaper than a padded
+        # 1024-lane packet launch
         probe_hit, _ = traverse.ray_scene(
             cam_pos[None], probe_d[None], scene, info,
-            stack_depth=params.stack_depth,
+            stack_depth=params.stack_depth, pallas="off",
         )
         mid = jnp.where(probe_hit.is_hit[0], probe_hit.t[0], -1.0)
         ifd = jnp.where(mid > 0.0, mid, ifd)

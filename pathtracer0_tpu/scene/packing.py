@@ -57,6 +57,15 @@ class DeviceScene(NamedTuple):
     imp_rot: jax.Array    # (I, 3) f32
     imp_mat: jax.Array    # (I,) i32
 
+    # Wavefront (Pallas packet-traversal) tables — component-major SoA so
+    # the large axis is the 128-lane minor dim (kernels/wavefront.py).
+    wf_nodes_f: jax.Array  # (8, N) f32: min xyz, max xyz, pad, pad
+    wf_nodes_i: jax.Array  # (4, N) i32: left, right, leaf_start, leaf_end
+    wf_tris: jax.Array     # (9, T') f32: v1, e1, e2 in leaf order
+    wf_perm: jax.Array     # (T',) i32: reordered row -> original tri index
+    wf_roots: jax.Array    # (MAX_ROOTS+1,) i32: [count, root ids...]
+    tri_obj: jax.Array     # (T,) i32: original tri -> object root node id
+
     # Materials (SSBO binding 14, dispatch.java:270-329)
     materials: jax.Array  # (M, 48) f32
 
@@ -134,6 +143,48 @@ def pack_scene(scene, config: RenderConfig,
     tri_pad = lambda a: pad1(np.asarray(a, np.float32))
     tex_data, tex_sizes = scene.textures.pack()
 
+    # ---- wavefront tables (kernels/wavefront.py) -------------------------
+    # Layout constraints come from Mosaic: dynamic scalar loads may only
+    # index the sublane dim, so every table is row-per-entity with static
+    # lane offsets; triangles pack ONE LEAF PER 128-lane ROW (v1/e1/e2 of
+    # slot j at lanes [9j, 9j+9)).
+    from ..kernels.wavefront import MAX_ROOTS
+
+    n_nodes = max(forest.node_min.shape[0], 1)
+    leaf_cap = max(forest.max_leaf_size(), 1)
+    wf_nodes_f = np.zeros((n_nodes, 8), np.float32)
+    wf_nodes_i = np.full((n_nodes, 4), -1, np.int32)
+    is_leaf_node = (forest.left == -1) & (forest.right == -1)
+    leaf_ids = np.flatnonzero(is_leaf_node)
+    n_leaves = max(len(leaf_ids), 1)
+    wf_tris = np.zeros((n_leaves, 128), np.float32)
+    wf_perm = np.full(n_leaves * leaf_cap, -1, np.int32)
+    if forest.node_min.shape[0]:
+        wf_nodes_f[:, 0:3] = forest.node_min
+        wf_nodes_f[:, 3:6] = forest.node_max
+        wf_nodes_i[:, 0] = forest.left
+        wf_nodes_i[:, 1] = forest.right
+        for row, nid in enumerate(leaf_ids):
+            s, e = int(forest.leaf_start[nid]), int(forest.leaf_end[nid])
+            cnt = min(e - s, leaf_cap)
+            wf_nodes_i[nid, 2] = row
+            wf_nodes_i[nid, 3] = cnt
+            ids = forest.leaf_tri_indices[s:s + cnt]
+            wf_perm[row * leaf_cap: row * leaf_cap + cnt] = ids
+            for j, tid in enumerate(ids):
+                a = v1[tid]
+                wf_tris[row, 9 * j: 9 * j + 9] = np.concatenate(
+                    [a, v2[tid] - a, v3[tid] - a]
+                )
+    wf_roots = np.zeros(MAX_ROOTS + 1, np.int32)
+    n_roots = min(len(forest.roots), MAX_ROOTS)
+    wf_roots[0] = n_roots
+    wf_roots[1:1 + n_roots] = forest.roots[:n_roots]
+
+    tri_obj = np.full(max(n_tri, 1), -1, np.int32)
+    for (start, end), root in zip(scene.tris.object_ranges, forest.roots):
+        tri_obj[start:end] = root
+
     dev = DeviceScene(
         tri_v1=tri_pad(v1.astype(np.float32)),
         tri_v2=tri_pad(v2.astype(np.float32)),
@@ -168,15 +219,30 @@ def pack_scene(scene, config: RenderConfig,
             np.asarray(scene.imp_scale, np.float32).reshape(-1, 3), fill=1),
         imp_rot=pad1(np.asarray(scene.imp_rot, np.float32).reshape(-1, 3)),
         imp_mat=pad1(np.asarray(scene.imp_mat, np.int32)),
+        wf_nodes_f=wf_nodes_f,
+        wf_nodes_i=wf_nodes_i,
+        wf_tris=wf_tris,
+        wf_perm=wf_perm,
+        wf_roots=wf_roots,
+        tri_obj=tri_obj,
         materials=pack_materials(scene.materials),
         tex_data=tex_data,
         tex_sizes=tex_sizes,
     )
+    # VMEM cost: node rows pad their 8/4-float lanes to full 128-lane tiles
+    wf_vmem = (wf_nodes_f.shape[0] + wf_nodes_i.shape[0]) * 128 * 4 \
+        + wf_tris.nbytes
     info = StaticSceneInfo(
         num_objects=int(forest.roots.shape[0]),
         num_ellipsoids=len(scene.ell_rad),
         num_implicits=len(scene.imp_fn),
         max_leaf_size=forest.max_leaf_size(),
+        wf_ok=(
+            len(forest.roots) > 0
+            and len(forest.roots) <= MAX_ROOTS
+            and leaf_cap <= 14
+            and wf_vmem <= 8 * 1024 * 1024
+        ),
     )
     # Device-resident pytree: one host->device transfer at build time, like
     # the reference's one-time SSBO uploads.
@@ -194,3 +260,5 @@ class StaticSceneInfo(NamedTuple):
     num_ellipsoids: int
     num_implicits: int
     max_leaf_size: int
+    # Wavefront (Pallas) path feasible: forest fits VMEM + root budget
+    wf_ok: bool = False
