@@ -473,7 +473,12 @@ def surface_sample(hit: Hit, origins, directions, scene,
         Dr = jnp.where(irotated, vm.rotate(D, irot), D)
         p_local = Or + hit.t[..., None] * Dr
         grad = imp_mod.gradient(p_local, ifn)
-        n_imp = -vm.normalize(grad)
+        # Reference net normal is +normalize(df): gradient() returns negated
+        # partials (frag.glsl:440-445) and rayScene negates again
+        # (frag.glsl:597-599). Our gradient() returns raw partials, so no
+        # extra negation here (ADVICE r1: inward normals broke in_object
+        # tracking and Beer-Lambert for implicits).
+        n_imp = vm.normalize(grad)
         n_imp = jnp.where(irotated, vm.rotate_back(n_imp, irot), n_imp)
         is_imp = (hit.kind == 2)[..., None]
         norm = jnp.where(is_imp, n_imp, norm)

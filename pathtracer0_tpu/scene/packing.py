@@ -152,14 +152,20 @@ def pack_scene(scene, config: RenderConfig,
 
     n_nodes = max(forest.node_min.shape[0], 1)
     leaf_cap = max(forest.max_leaf_size(), 1)
+    # A 128-lane leaf row holds at most 14 triangles (9 floats each). A
+    # degenerate SAH partition can exceed that; skip the wavefront tables
+    # entirely then (ADVICE r1: the fill used to overrun the row and crash
+    # before the wf_ok gate was even computed) and fall back to the vmapped
+    # traversal.
+    wf_feasible = leaf_cap <= 14
     wf_nodes_f = np.zeros((n_nodes, 8), np.float32)
     wf_nodes_i = np.full((n_nodes, 4), -1, np.int32)
     is_leaf_node = (forest.left == -1) & (forest.right == -1)
     leaf_ids = np.flatnonzero(is_leaf_node)
-    n_leaves = max(len(leaf_ids), 1)
+    n_leaves = max(len(leaf_ids), 1) if wf_feasible else 1
     wf_tris = np.zeros((n_leaves, 128), np.float32)
     wf_perm = np.full(n_leaves * leaf_cap, -1, np.int32)
-    if forest.node_min.shape[0]:
+    if forest.node_min.shape[0] and wf_feasible:
         wf_nodes_f[:, 0:3] = forest.node_min
         wf_nodes_f[:, 3:6] = forest.node_max
         wf_nodes_i[:, 0] = forest.left
@@ -238,9 +244,9 @@ def pack_scene(scene, config: RenderConfig,
         num_implicits=len(scene.imp_fn),
         max_leaf_size=forest.max_leaf_size(),
         wf_ok=(
-            len(forest.roots) > 0
+            wf_feasible
+            and len(forest.roots) > 0
             and len(forest.roots) <= MAX_ROOTS
-            and leaf_cap <= 14
             and wf_vmem <= 8 * 1024 * 1024
         ),
     )

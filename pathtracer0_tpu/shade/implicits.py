@@ -128,8 +128,10 @@ def funcs(p, fn):
 
 
 def gradient(p, fn, h=1e-4):
-    """Forward differences, negated like the reference (frag.glsl:440-445,
-    negation applied at frag.glsl:597-599 via the minus sign)."""
+    """Forward differences — RAW (un-negated) partials. The reference's
+    gradient() returns negated partials (frag.glsl:440-445) and rayScene
+    negates again (frag.glsl:597-599), so the net surface normal is
+    +normalize(df); callers here must use the gradient as-is."""
     f0 = funcs(p, fn)
     dx = (funcs(p + jnp.array([h, 0, 0], p.dtype), fn) - f0) / h
     dy = (funcs(p + jnp.array([0, h, 0], p.dtype), fn) - f0) / h
