@@ -60,6 +60,16 @@ def build_scene():
 
 def main():
     import jax
+    # Persistent compile cache: the packet-traversal kernel is expensive to
+    # compile; warmup must not pollute repeated bench runs.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
     from pathtracer0_tpu import RenderConfig
     from pathtracer0_tpu.render.renderer import render_frame, _frame_params

@@ -111,3 +111,29 @@ def rotate_back(p, rot):
     """Inverse rotation (GLSL rotateBack, frag.glsl:284-297): R^T p."""
     r = rotation_matrix(rot)
     return jnp.einsum("...ji,...j->...i", r, p)
+
+
+def onehot_gather(table, idx):
+    """Row gather expressed as a one-hot matmul: table (N, D), idx (..., ) int
+    -> (..., D).
+
+    TPU-native replacement for per-ray row gathers (XLA lowers those to slow
+    serial dynamic-slices on TPU; the VPU has no hardware gather). A one-hot
+    matrix contraction rides the MXU instead. With HIGHEST precision the
+    result is BIT-EXACT: the only nonzero product per output is 1.0 * x, and
+    the f32 split-accumulate reconstructs x exactly (1.0 splits as
+    hi=1, lo=0, so x_hi + x_lo = x).
+
+    Worth it for tables up to a few thousand rows (cost = B*N*D flops);
+    larger tables should use in-kernel scalar loads instead.
+    """
+    import jax
+
+    n = table.shape[0]
+    oh = (idx[..., None] == jnp.arange(n, dtype=idx.dtype)).astype(
+        table.dtype
+    )
+    return jax.lax.dot_general(
+        oh, table, (((oh.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )

@@ -297,7 +297,7 @@ def _merge_analytic_batched(o, d, scene, info, closest, tri_idx, uu, vv,
 
 def _ray_scene_pallas(origins, directions, scene, info, active,
                       interpret: bool, sort_rays: bool = False,
-                      block_rows: int = 256):
+                      block_rows: int = 128):
     """Packet-traversal scene query (kernels/wavefront.py) + batched
     analytic-primitive merge.
 
@@ -352,12 +352,24 @@ def _ray_scene_pallas(origins, directions, scene, info, active,
             jnp.arange(B, dtype=order.dtype)
         )
         t, uu, vv, idx = t[inv], uu[inv], vv[inv], idx[inv]
-    tri_idx = jnp.where(
-        idx >= 0, scene.wf_perm[jnp.maximum(idx, 0)], -1
-    ).astype(jnp.int32)
-    obj = jnp.where(
-        tri_idx >= 0, scene.tri_obj[jnp.maximum(tri_idx, 0)], -1
-    ).astype(jnp.int32)
+    # idx -> original tri id -> object root, as one-hot matmuls (serial
+    # TPU gathers are ~ms-scale per bounce even on small tables)
+    if scene.wf_perm.shape[0] <= ONEHOT_MAX_TRIS:
+        perm_obj = jnp.concatenate(
+            [scene.wf_perm[:, None].astype(jnp.float32),
+             scene.tri_obj[jnp.maximum(scene.wf_perm, 0)][:, None]
+             .astype(jnp.float32)], axis=1,
+        )
+        po = vm.onehot_gather(perm_obj, jnp.maximum(idx, 0))
+        tri_idx = jnp.where(idx >= 0, po[:, 0].astype(jnp.int32), -1)
+        obj = jnp.where(tri_idx >= 0, po[:, 1].astype(jnp.int32), -1)
+    else:
+        tri_idx = jnp.where(
+            idx >= 0, scene.wf_perm[jnp.maximum(idx, 0)], -1
+        ).astype(jnp.int32)
+        obj = jnp.where(
+            tri_idx >= 0, scene.tri_obj[jnp.maximum(tri_idx, 0)], -1
+        ).astype(jnp.int32)
     kind = jnp.where(tri_idx >= 0, 1, 0).astype(jnp.int32)
     prim = jnp.full((B,), -1, jnp.int32)
     closest = t
@@ -401,12 +413,24 @@ def ray_scene(origins, directions, scene, info, stack_depth: int = 64,
     return jax.vmap(fn)(origins, directions)
 
 
+# Combined-attribute one-hot fetch is worth it up to a few thousand rows;
+# beyond that the MXU contraction cost (B x T x 27) overtakes the serial
+# gather and scenes should use the HBM-streamed kernel's in-kernel
+# attributes instead.
+ONEHOT_MAX_TRIS = 8192
+
+
 def surface_sample(hit: Hit, origins, directions, scene,
                    info=None) -> SurfaceSample:
     """Interpolate normal/UV/tangent at the final hits (frag.glsl:483-519
     leaf bookkeeping + frag.glsl:606-631 ellipsoid normals), deferred to
     once-per-ray. `origins` must be the nudged origins returned by
-    ray_scene."""
+    ray_scene.
+
+    Attribute rows are fetched with one-hot matmuls (bit-exact, rides the
+    MXU) instead of per-ray gathers, which lower to serial dynamic-slices
+    on TPU — measured ~10 ms/bounce on a 480k-ray batch even for tiny
+    tables."""
     tri = jnp.maximum(hit.tri, 0)
     loc = origins + hit.t[..., None] * directions
 
@@ -414,32 +438,57 @@ def surface_sample(hit: Hit, origins, directions, scene,
     u = hit.u[..., None]
     v = hit.v[..., None]
     w = 1.0 - u - v
-    n1 = scene.tri_n1[tri]
-    n2 = scene.tri_n2[tri]
-    n3 = scene.tri_n3[tri]
-    smooth = scene.tri_has_smooth[tri][..., None]
+    if scene.tri_attr.shape[0] <= ONEHOT_MAX_TRIS:
+        attr = vm.onehot_gather(scene.tri_attr, tri)
+        n1 = attr[..., 0:3]
+        n2 = attr[..., 3:6]
+        n3 = attr[..., 6:9]
+        uv1 = attr[..., 9:11]
+        uv2 = attr[..., 11:13]
+        uv3 = attr[..., 13:15]
+        has_uv = attr[..., 15] > 0.5
+        smooth = (attr[..., 16] > 0.5)[..., None]
+        tri_mat = attr[..., 17].astype(jnp.int32)
+        tv1 = attr[..., 18:21]
+        tv2 = attr[..., 21:24]
+        tv3 = attr[..., 24:27]
+    else:
+        n1 = scene.tri_n1[tri]
+        n2 = scene.tri_n2[tri]
+        n3 = scene.tri_n3[tri]
+        uv1 = scene.tri_uv1[tri]
+        uv2 = scene.tri_uv2[tri]
+        uv3 = scene.tri_uv3[tri]
+        has_uv = scene.tri_has_uv[tri]
+        smooth = scene.tri_has_smooth[tri][..., None]
+        tri_mat = scene.tri_mat[tri]
+        tv1 = scene.tri_v1[tri]
+        tv2 = scene.tri_v2[tri]
+        tv3 = scene.tri_v3[tri]
+
     interp = vm.normalize(n1 * w + n2 * u + n3 * v)
     tri_norm = jnp.where(smooth, interp, n1)
 
-    has_uv = scene.tri_has_uv[tri]
-    uv1 = scene.tri_uv1[tri]
-    uv2 = scene.tri_uv2[tri]
-    uv3 = scene.tri_uv3[tri]
     uv = uv1 * w + uv2 * u + uv3 * v
     # GL flips v for mesh UVs (frag.glsl:513)
     uv = jnp.stack([uv[..., 0], 1.0 - uv[..., 1]], axis=-1)
     uv = jnp.where(has_uv[..., None], uv, jnp.float32(-1.0))
     tangent = intersect.compute_tangent(
-        scene.tri_v1[tri], scene.tri_v2[tri], scene.tri_v3[tri],
-        uv1, uv2, uv3, tri_norm,
+        tv1, tv2, tv3, uv1, uv2, uv3, tri_norm,
     )
     tangent = jnp.where(has_uv[..., None], tangent, 0.0)
-    tri_mat = scene.tri_mat[tri]
 
     # --- ellipsoid attributes ----------------------------------------------
     prim = jnp.maximum(hit.prim, 0)
-    c = scene.ell_c[prim]
-    rot = scene.ell_rot[prim]
+    ell_attr = vm.onehot_gather(
+        jnp.concatenate(
+            [scene.ell_c, scene.ell_rot,
+             scene.ell_mat[:, None].astype(jnp.float32)], axis=1,
+        ),
+        prim,
+    )
+    c = ell_attr[..., 0:3]
+    rot = ell_attr[..., 3:6]
     rotated = (vm.length(rot) > 0.0)[..., None]
     # Reference: N = normalize(o + t*d - c), in the rotated frame when the
     # ellipsoid is rotated (frag.glsl:622-626).
@@ -448,7 +497,7 @@ def surface_sample(hit: Hit, origins, directions, scene,
     local = ro + hit.t[..., None] * rd - c
     ell_norm_rot = vm.rotate_back(vm.normalize(local), rot)
     ell_norm = jnp.where(rotated, ell_norm_rot, vm.normalize(loc - c))
-    ell_mat = scene.ell_mat[prim]
+    ell_mat = ell_attr[..., 6].astype(jnp.int32)
 
     is_tri = (hit.kind == 1)[..., None]
     is_ell = (hit.kind == 3)[..., None]
@@ -462,10 +511,19 @@ def surface_sample(hit: Hit, origins, directions, scene,
         from ..shade import implicits as imp_mod
 
         iprim = jnp.maximum(hit.prim, 0)
-        ishift = scene.imp_shift[iprim]
-        iscale = scene.imp_scale[iprim]
-        irot = scene.imp_rot[iprim]
-        ifn = scene.imp_fn[iprim]
+        iattr = vm.onehot_gather(
+            jnp.concatenate(
+                [scene.imp_shift, scene.imp_scale, scene.imp_rot,
+                 scene.imp_fn[:, None].astype(jnp.float32),
+                 scene.imp_mat[:, None].astype(jnp.float32)], axis=1,
+            ),
+            iprim,
+        )
+        ishift = iattr[..., 0:3]
+        iscale = iattr[..., 3:6]
+        irot = iattr[..., 6:9]
+        ifn = iattr[..., 9].astype(jnp.int32)
+        imat = iattr[..., 10].astype(jnp.int32)
         O = (origins - ishift) / iscale
         D = directions / iscale
         irotated = (vm.length(irot) > 0.0)[..., None]
@@ -482,7 +540,7 @@ def surface_sample(hit: Hit, origins, directions, scene,
         n_imp = jnp.where(irotated, vm.rotate_back(n_imp, irot), n_imp)
         is_imp = (hit.kind == 2)[..., None]
         norm = jnp.where(is_imp, n_imp, norm)
-        mat = jnp.where(hit.kind == 2, scene.imp_mat[iprim], mat)
+        mat = jnp.where(hit.kind == 2, imat, mat)
         # hit location in WORLD space uses the local-t quirk consistently
         loc = jnp.where(is_imp, origins + hit.t[..., None] * directions, loc)
     uv = jnp.where(is_tri, uv, -1.0)

@@ -213,7 +213,7 @@ def trace_forest(
     tris,      # (L, 128) f32 leaf-packed triangle rows
     *,
     leaf_cap: int,
-    block_rows: int = 256,
+    block_rows: int = 128,
     interpret: bool = False,
 ):
     """Closest-hit over the BVH forest for R rays.

@@ -45,21 +45,32 @@ class TraceParams(NamedTuple):
     normal_mapping: bool = True
     # "auto" | "on" | "interpret" | "off" — see kernels.traverse.ray_scene
     pallas: str = "auto"
-    # sort rays by direction octant between bounces (packet coherence)
-    sort_rays: bool = True
+    # sort rays by direction octant between bounces (packet coherence).
+    # Off by default: measured on v5e the argsort + gather + scatter-back
+    # costs ~2.4x the unsorted traversal on a 480k-ray batch — packet
+    # any-hit gating already tolerates incoherence for VMEM-resident
+    # forests. Revisit for HBM-streamed scenes where a visit is a DMA.
+    sort_rays: bool = False
 
 
 def _shade_setup(hit, o_nudged, d, scene, params, info=None):
-    """Closest hit -> surface attrs + mapped material + flipped normal."""
+    """Closest hit -> surface attrs + mapped material + flipped normal.
+
+    The mapMtl/TBN stages are compile-time gated on the scene actually
+    referencing texture maps (info.has_maps) — for map-free scenes the
+    12 bilinear samples/ray/bounce vanish from the compiled program.
+    """
+    maps_on = params.use_textures and (info is None or info.has_maps)
+    norm_on = (params.use_textures and params.normal_mapping
+               and (info is None or info.has_normal_maps))
     surf = traverse.surface_sample(hit, o_nudged, d, scene, info=info)
     m, rec = mtl_mod.decode(scene.materials, surf.mat)
     m = mtl_mod.apply_maps(
-        m, rec, surf.uv, scene.tex_data, scene.tex_sizes,
-        enable=params.use_textures,
+        m, rec, surf.uv, scene.tex_data, scene.tex_sizes, enable=maps_on,
     )
     n = mtl_mod.shading_normal(
         m, surf.norm, surf.tangent, surf.uv, scene.tex_data,
-        scene.tex_sizes, enable=params.use_textures and params.normal_mapping,
+        scene.tex_sizes, enable=norm_on,
     )
     return surf, m, n
 
@@ -90,6 +101,8 @@ def trace(origins, directions, state, scene, info, params: TraceParams):
         enter_loc: jax.Array
         state: jax.Array
         rays: jax.Array  # scene queries issued for live rays
+        missed: jax.Array    # (B,) ray terminated by a sky miss
+        miss_col: jax.Array  # (B, 3) throughput at the miss
 
     init = C(
         bounce=jnp.int32(0),
@@ -104,6 +117,8 @@ def trace(origins, directions, state, scene, info, params: TraceParams):
         enter_loc=f3(0.0),
         state=state,
         rays=jnp.zeros((), jnp.float32),
+        missed=jnp.zeros((B,), bool),
+        miss_col=f3(0.0),
     )
 
     def cond(c):
@@ -186,11 +201,15 @@ def trace(origins, directions, state, scene, info, params: TraceParams):
             jnp.where(passthrough[:, None], c.col, c.col * ks_kd),
         )
 
-        # --- miss: sky (frag.glsl:875-879). bgCol receives D unnormalized,
-        # exactly like the shader (the equirect arcsin is clipped to the
-        # valid domain; GLSL leaves out-of-range asin undefined).
-        sky = sky_color(scene.tex_data, scene.tex_sizes, c.d)
-        inc = inc + jnp.where(is_miss[:, None], sky * c.col, 0.0)
+        # --- miss: sky (frag.glsl:875-879), DEFERRED: a missed ray
+        # terminates, so its single sky contribution is recorded (direction
+        # stays in c.d — masked updates never overwrite a dead ray's d) and
+        # evaluated once after the loop instead of per bounce. bgCol
+        # receives D unnormalized, exactly like the shader (the equirect
+        # arcsin is clipped to the valid domain; GLSL leaves out-of-range
+        # asin undefined).
+        missed = c.missed | is_miss
+        miss_col = jnp.where(is_miss[:, None], c.col, c.miss_col)
 
         # --- commit masked updates -----------------------------------------
         live = is_hit & ~cutoff
@@ -208,10 +227,16 @@ def trace(origins, directions, state, scene, info, params: TraceParams):
             enter_loc=upd(new_enter_loc, c.enter_loc),
             state=new_state,
             rays=c.rays + jnp.sum(c.alive.astype(jnp.float32)),
+            missed=missed,
+            miss_col=miss_col,
         )
 
     final = jax.lax.while_loop(cond, body, init)
-    return final.inc, final.state, final.rays
+    sky = sky_color(scene.tex_data, scene.tex_sizes, final.d)
+    inc = final.inc + jnp.where(
+        final.missed[:, None], sky * final.miss_col, 0.0
+    )
+    return inc, final.state, final.rays
 
 
 def direct_diffuse(origins, directions, scene, info, params: TraceParams):

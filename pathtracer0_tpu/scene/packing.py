@@ -66,6 +66,12 @@ class DeviceScene(NamedTuple):
     wf_roots: jax.Array    # (MAX_ROOTS+1,) i32: [count, root ids...]
     tri_obj: jax.Array     # (T,) i32: original tri -> object root node id
 
+    # Combined per-triangle attribute table for one-hot (MXU) fetch at
+    # shading time (kernels/traverse.surface_sample): columns are
+    # 0-8 n1/n2/n3, 9-14 uv1/uv2/uv3, 15 has_uv, 16 has_smooth, 17 mat,
+    # 18-26 v1/v2/v3.
+    tri_attr: jax.Array    # (T, 27) f32
+
     # Materials (SSBO binding 14, dispatch.java:270-329)
     materials: jax.Array  # (M, 48) f32
 
@@ -191,6 +197,36 @@ def pack_scene(scene, config: RenderConfig,
     for (start, end), root in zip(scene.tris.object_ranges, forest.roots):
         tri_obj[start:end] = root
 
+    # Static texture-map presence flags: when no material references a map,
+    # the whole mapMtl stage (12 bilinear samples/ray/bounce in the
+    # reference, frag.glsl:210-225) compiles away entirely.
+    mats = pack_materials(scene.materials)
+    map_cols = [21, 22, 23, 31, 32, 33, 34, 35, 37, 38, 39, 40]  # COL map_*
+    has_maps = bool(mats.shape[0]) and bool((mats[:, map_cols] >= 0).any())
+    has_normal_maps = bool(mats.shape[0]) and bool((mats[:, 36] >= 0).any())
+
+    # Combined attribute table for one-hot fetch (see DeviceScene.tri_attr)
+    n1a = stack3(t.n1, (0, 3))
+    n2a = stack3(t.n2, (0, 3))
+    n3a = stack3(t.n3, (0, 3))
+    uv1a = stack3(t.uv1, (0, 2))
+    uv2a = stack3(t.uv2, (0, 2))
+    uv3a = stack3(t.uv3, (0, 2))
+    tri_attr = np.zeros((max(n_tri, 1), 27), np.float32)
+    if n_tri:
+        tri_attr[:, 0:3] = n1a
+        tri_attr[:, 3:6] = n2a
+        tri_attr[:, 6:9] = n3a
+        tri_attr[:, 9:11] = uv1a
+        tri_attr[:, 11:13] = uv2a
+        tri_attr[:, 13:15] = uv3a
+        tri_attr[:, 15] = np.asarray(t.has_uv, np.float32)
+        tri_attr[:, 16] = np.asarray(t.has_smooth, np.float32)
+        tri_attr[:, 17] = np.asarray(t.mat, np.float32)
+        tri_attr[:, 18:21] = v1.astype(np.float32)
+        tri_attr[:, 21:24] = v2.astype(np.float32)
+        tri_attr[:, 24:27] = v3.astype(np.float32)
+
     dev = DeviceScene(
         tri_v1=tri_pad(v1.astype(np.float32)),
         tri_v2=tri_pad(v2.astype(np.float32)),
@@ -231,7 +267,8 @@ def pack_scene(scene, config: RenderConfig,
         wf_perm=wf_perm,
         wf_roots=wf_roots,
         tri_obj=tri_obj,
-        materials=pack_materials(scene.materials),
+        tri_attr=tri_attr,
+        materials=mats,
         tex_data=tex_data,
         tex_sizes=tex_sizes,
     )
@@ -249,6 +286,8 @@ def pack_scene(scene, config: RenderConfig,
             and len(forest.roots) <= MAX_ROOTS
             and wf_vmem <= 8 * 1024 * 1024
         ),
+        has_maps=has_maps,
+        has_normal_maps=has_normal_maps,
     )
     # Device-resident pytree: one host->device transfer at build time, like
     # the reference's one-time SSBO uploads.
@@ -268,3 +307,7 @@ class StaticSceneInfo(NamedTuple):
     max_leaf_size: int
     # Wavefront (Pallas) path feasible: forest fits VMEM + root budget
     wf_ok: bool = False
+    # Any material references a texture map / a normal map (compile-time
+    # gates for the mapMtl and TBN stages)
+    has_maps: bool = True
+    has_normal_maps: bool = True

@@ -13,6 +13,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core.math import onehot_gather
 from ..scene.material import COL
 from ..scene.texture import sample_bilinear
 
@@ -45,8 +46,13 @@ class Mtl(NamedTuple):
 def decode(materials, mat_idx):
     """newMtl (frag.glsl:170-209): gather records; mat_idx clamped to 0 so
     missing materials (-1) decode harmlessly (they are only used by rays that
-    are masked out downstream)."""
-    rec = materials[jnp.maximum(mat_idx, 0)]
+    are masked out downstream).
+
+    The record fetch is a one-hot matmul (MXU), not a gather: per-ray row
+    gathers lower to serial dynamic-slices on TPU and measured ~19 ms per
+    480k-ray bounce; the one-hot contraction is bit-exact and ~100x cheaper
+    for material tables of any realistic size."""
+    rec = onehot_gather(materials, jnp.maximum(mat_idx, 0))
 
     def f(name):
         return rec[..., COL[name]]
