@@ -87,15 +87,22 @@ def main():
     cam = jnp.asarray([0.0, 1.2, 0.0], jnp.float32)
     rot = jnp.asarray([0.25, 0.0, 0.0], jnp.float32)
 
+    # Fresh seeds every invocation: the TPU tunnel caches (program, args)
+    # result pairs, so repeated fixed-seed frames would measure the cache.
+    import random as _random
+    _rng = _random.Random(time.time_ns())
+
     # warmup / compile
-    img, rays = render_frame(dev, cam, rot, jnp.uint32(1), **kw)
+    img, rays = render_frame(
+        dev, cam, rot, jnp.uint32(_rng.randrange(1, 2**31)), **kw)
     jax.block_until_ready(img)
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "5"))
+    seeds = [_rng.randrange(1, 2**31) for _ in range(n_frames)]
     total_rays = 0.0
     t0 = time.perf_counter()
-    for k in range(n_frames):
-        img, rays = render_frame(dev, cam, rot, jnp.uint32(2 + k), **kw)
+    for s in seeds:
+        img, rays = render_frame(dev, cam, rot, jnp.uint32(s), **kw)
         total_rays += float(rays)
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0

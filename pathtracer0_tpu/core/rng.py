@@ -58,13 +58,16 @@ def advance(state, n: int = 1):
 
 
 def advance_select(state, counts, max_count: int):
-    """Advance each lane's state by a per-lane draw count in [0, max_count]."""
-    options = jnp.stack(
-        [advance(state, n) for n in range(max_count + 1)], axis=0
-    )
-    return jnp.take_along_axis(
-        options, counts.astype(jnp.int32)[None, ...], axis=0
-    )[0]
+    """Advance each lane's state by a per-lane draw count in [0, max_count].
+
+    A where-chain over the (static, small) candidate count — NOT
+    take_along_axis over a stacked array: per-ray selects lower to serial
+    gathers on TPU and measured ~4.7 ms per 480k-ray bounce."""
+    counts = counts.astype(jnp.int32)
+    out = state
+    for n in range(1, max_count + 1):
+        out = jnp.where(counts == n, advance(state, n), out)
+    return out
 
 
 def _extract(state):

@@ -55,6 +55,91 @@ MISS = np.float32(1e30)
 EPSILON = np.float32(1e-10)
 STACK_DEPTH = 160
 MAX_ROOTS = 32
+# forests at or below this many leaf rows skip the stack walk entirely
+# (see _brute_kernel)
+BRUTE_MAX_ROWS = 192
+
+
+def _brute_kernel(
+    nodes_f_ref,    # unused (kept for a uniform signature)
+    tris_ref,       # (L, 128) f32 leaf-packed triangle rows
+    o_ref,          # (3, RS, 128) f32
+    d_ref,          # (3, RS, 128) f32
+    tin_ref,        # (RS, 128) f32
+    t_ref,          # out (RS, 128) f32
+    u_ref,          # out
+    v_ref,          # out
+    idx_ref,        # out i32
+    *,
+    leaf_cap: int,
+    n_rows: int,
+):
+    """Small-scene fast path: test EVERY leaf row against the block.
+
+    No stack, no per-node scalar loads, no vector->scalar reductions, no
+    branches — the loop body is straight-line VPU work, which is exactly
+    what the hardware wants. Empty slots hold zeroed triangles whose
+    Moller-Trumbore determinant is 0, so they self-mask; rows are iterated
+    with a fori_loop (sublane-indexed scalar loads are legal in Mosaic).
+
+    Crossover measured on v5e: brute force beats the packet stack walk on
+    the bench scene (84 packed tris) for BOTH coherent primary rays and
+    incoherent bounce rays — the stack walk's serial scalar dependency
+    chain (SMEM pop -> node load -> cond) costs more than testing every
+    triangle at full VPU width. Use for forests under ~BRUTE_MAX_ROWS rows.
+    """
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+
+    t_ref[...] = tin_ref[...]
+    u_ref[...] = jnp.zeros_like(u_ref)
+    v_ref[...] = jnp.zeros_like(v_ref)
+    idx_ref[...] = jnp.full_like(idx_ref, -1)
+
+    def row_body(row, _):
+        for j in range(leaf_cap):  # static unroll: lane offsets stay static
+            base = 9 * j
+            v1x = tris_ref[row, base + 0]
+            v1y = tris_ref[row, base + 1]
+            v1z = tris_ref[row, base + 2]
+            e1x = tris_ref[row, base + 3]
+            e1y = tris_ref[row, base + 4]
+            e1z = tris_ref[row, base + 5]
+            e2x = tris_ref[row, base + 6]
+            e2y = tris_ref[row, base + 7]
+            e2z = tris_ref[row, base + 8]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / det
+            sx = ox - v1x
+            sy = oy - v1y
+            sz = oz - v1z
+            u = (sx * px + sy * py + sz * pz) * inv_det
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = (
+                (jnp.abs(det) >= EPSILON)
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > EPSILON)
+                & (t < t_ref[...])
+            )
+            t_ref[...] = jnp.where(ok, t, t_ref[...])
+            u_ref[...] = jnp.where(ok, u, u_ref[...])
+            v_ref[...] = jnp.where(ok, v, v_ref[...])
+            idx_ref[...] = jnp.where(
+                ok, row * leaf_cap + j, idx_ref[...]
+            )
+        return 0
+
+    jax.lax.fori_loop(0, n_rows, row_body, 0)
 
 
 def _traverse_kernel(
@@ -85,10 +170,19 @@ def _traverse_kernel(
     idx_ref[...] = jnp.full_like(idx_ref, -1)
 
     n_roots = roots_ref[0]
-    for k in range(MAX_ROOTS):
-        @pl.when(k < n_roots)
-        def _():
-            stack_ref[k] = roots_ref[k + 1]
+
+    def push_root(k, _):
+        stack_ref[k] = roots_ref[k + 1]
+        return 0
+
+    jax.lax.fori_loop(0, n_roots, push_root, 0)
+
+    # Scalar child-ordering signs: the block's dominant direction sign per
+    # axis (one reduction each, ONCE per block — per-node ordering must not
+    # issue vector->scalar syncs, they serialize the whole loop).
+    sgn_x = jnp.sum(dx) >= 0.0
+    sgn_y = jnp.sum(dy) >= 0.0
+    sgn_z = jnp.sum(dz) >= 0.0
 
     def entry_dist(node):
         """Slab test of one node's AABB against the whole block
@@ -164,19 +258,38 @@ def _traverse_kernel(
         right = nodes_i_ref[node, 1]
         enter_l = entry_dist(left)
         enter_r = entry_dist(right)
-        want_l = enter_l < t_ref[...]
-        want_r = enter_r < t_ref[...]
-        hit_l = jnp.any(want_l)
-        hit_r = jnp.any(want_r)
-        # near-first pop order: push the farther child first, ordered by
-        # the closest active entry distance in the block
-        min_l = jnp.min(jnp.where(want_l, enter_l, MISS))
-        min_r = jnp.min(jnp.where(want_r, enter_r, MISS))
-        l_far = min_l > min_r
-        first = jnp.where(l_far, left, right)       # far child
-        second = jnp.where(l_far, right, left)      # near child
-        push_first = jnp.where(l_far, hit_l, hit_r)
-        push_second = jnp.where(l_far, hit_r, hit_l)
+        t_cur = t_ref[...]
+        # ONE fused vector->scalar sync for both children (each jnp.any is
+        # a separate reduction + scalar wait; they dominated the loop)
+        # ONE fused vector->scalar sync for both children: pack both want
+        # masks into one i32 sum (lane counts fit 16 bits for block_rows
+        # <= 256; separate jnp.any reductions each serialized the loop)
+        packed = (enter_l < t_cur).astype(jnp.int32) + (
+            (enter_r < t_cur).astype(jnp.int32) << 16
+        )
+        s = jnp.sum(packed)
+        hit_l = (s & 0xFFFF) > 0
+        hit_r = s >= (1 << 16)
+        # near-first pop order WITHOUT vector reductions: order children by
+        # their AABB center along the axis where they differ most, signed
+        # by the block's dominant direction — all scalar math.
+        cdx = (nodes_f_ref[left, 0] + nodes_f_ref[left, 3]) - (
+            nodes_f_ref[right, 0] + nodes_f_ref[right, 3])
+        cdy = (nodes_f_ref[left, 1] + nodes_f_ref[left, 4]) - (
+            nodes_f_ref[right, 1] + nodes_f_ref[right, 4])
+        cdz = (nodes_f_ref[left, 2] + nodes_f_ref[left, 5]) - (
+            nodes_f_ref[right, 2] + nodes_f_ref[right, 5])
+        ax, ay, az = jnp.abs(cdx), jnp.abs(cdy), jnp.abs(cdz)
+        use_x = (ax >= ay) & (ax >= az)
+        use_y = (~use_x) & (ay >= az)
+        cd = jnp.where(use_x, cdx, jnp.where(use_y, cdy, cdz))
+        sgn = jnp.where(use_x, sgn_x, jnp.where(use_y, sgn_y, sgn_z))
+        # left is the near child iff its center is on the ray-entry side
+        l_near = jnp.where(sgn, cd < 0.0, cd > 0.0)
+        first = jnp.where(l_near, right, left)      # far child: pushed first
+        second = jnp.where(l_near, left, right)     # near child: popped first
+        push_first = jnp.where(l_near, hit_r, hit_l)
+        push_second = jnp.where(l_near, hit_l, hit_r)
         # branch-free pushes: always write, advance sp only for real pushes
         # (garbage above sp is never read)
         stack_ref[jnp.minimum(sp, STACK_DEPTH - 1)] = jnp.where(
@@ -220,6 +333,10 @@ def trace_forest(
 
     Returns (t, u, v, idx) each (R,); idx = leaf_row * leaf_cap + slot
     (-1 for no hit) — map through wf_perm for original triangle ids.
+
+    Small forests (<= BRUTE_MAX_ROWS leaf rows) dispatch to _brute_kernel —
+    measured faster than the stack walk for both coherent and incoherent
+    rays at that size on v5e.
     """
     rb = block_rows * LANES
     r = o3.shape[1]
@@ -228,6 +345,39 @@ def trace_forest(
     o_b = o3.reshape(3, r // LANES, LANES)
     d_b = d3.reshape(3, r // LANES, LANES)
     t_b = t_init.reshape(r // LANES, LANES)
+    shape = (r // LANES, LANES)
+
+    n_rows = tris.shape[0]
+    if n_rows <= BRUTE_MAX_ROWS:
+        t, u, v, idx = pl.pallas_call(
+            functools.partial(
+                _brute_kernel, leaf_cap=leaf_cap, n_rows=n_rows
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes_f (unused)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # tris
+                pl.BlockSpec((3, block_rows, LANES), lambda i: (0, i, 0)),
+                pl.BlockSpec((3, block_rows, LANES), lambda i: (0, i, 0)),
+                pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
+                pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
+                pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
+                pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(shape, jnp.float32),
+                jax.ShapeDtypeStruct(shape, jnp.float32),
+                jax.ShapeDtypeStruct(shape, jnp.float32),
+                jax.ShapeDtypeStruct(shape, jnp.int32),
+            ],
+            interpret=interpret,
+        )(nodes_f, tris, o_b, d_b, t_b)
+        return (
+            t.reshape(r), u.reshape(r), v.reshape(r), idx.reshape(r)
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -250,7 +400,6 @@ def trace_forest(
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
         ],
     )
-    shape = (r // LANES, LANES)
     t, u, v, idx = pl.pallas_call(
         functools.partial(_traverse_kernel, leaf_cap=leaf_cap),
         grid_spec=grid_spec,

@@ -51,6 +51,13 @@ class TraceParams(NamedTuple):
     # any-hit gating already tolerates incoherence for VMEM-resident
     # forests. Revisit for HBM-streamed scenes where a visit is a DMA.
     sort_rays: bool = False
+    # fold the spp loop into the ray axis (render/renderer.render_rays):
+    # one megabatch of spp*N rays instead of spp sequential passes.
+    # Measured SLOWER on v5e at 800x600x4spp (244 vs 180 ms/frame — the
+    # bigger while_loop carry outweighs the dispatch savings), so off by
+    # default; samples would also get independent RNG streams instead of
+    # the reference's carried per-pixel stream (PARITY.md #13).
+    fold_spp: bool = False
 
 
 def _shade_setup(hit, o_nudged, d, scene, params, info=None):
@@ -257,17 +264,17 @@ def direct_diffuse(origins, directions, scene, info, params: TraceParams):
     # point through the parent object (frag.glsl:662-676). PARITY.md #4:
     # we use the re-trace hit DISTANCE (the shader measures distance to the
     # raw (t,u,v) triple it mislabels as a location).
+    #
+    # On the packet path the probe queries the WHOLE forest, not just the
+    # parent object (the reference restricts to the parent BVH): the result
+    # differs only when another object intersects the probe segment inside
+    # the parent. The per-object vmapped probe is kept for the XLA path —
+    # it cannot run batched on TPU (large vmapped stack-walks fault the
+    # TPU worker; observed on v5e).
     if info.num_objects > 0:
-        def probe_one(o, d, root):
-            root = jnp.maximum(root, 0)
-            t, tri, _, _, _ = traverse._traverse_object(
-                o + jnp.float32(1e-4) * d, d, root, traverse.MISS, scene,
-                params.stack_depth, max(info.max_leaf_size, 1),
-            )
-            return t
-
-        si = jax.vmap(lambda o, d, r: probe_one(o, d, r))(
-            surf.loc, directions, hit.obj
+        si = traverse.probe_forest_t(
+            surf.loc, directions, scene, info, parent=hit.obj,
+            stack_depth=params.stack_depth, pallas=params.pallas,
         )
         sigma_t = 1.0 / jnp.maximum(m.subsurfaceRadius, 1e-4)
         ss_light = jnp.exp(-sigma_t * si[..., None]) * m.subsurfaceColor

@@ -64,13 +64,48 @@ def render_rays(
     Returns (color (N, 3), rays_traced scalar). This is the unit that
     shards over a device mesh (dist/mesh.py) — pixels are independent, the
     scene is replicated, so no collectives are needed until image assembly.
-    """
+
+    When params.fold_spp is set the spp samples are folded into the ray
+    axis (one batch of spp*N rays) instead of looping sequentially —
+    bigger megabatches amortize every per-stage fixed cost and pipeline
+    better. Sample k seeds its RNG as if it were pixel index + k*N of a
+    taller image (PARITY.md: the reference carries ONE stream per pixel
+    through all its samples; folding gives each sample an independent
+    stream — a different but equally unbiased estimator; set
+    fold_spp=False for draw-for-draw stream parity)."""
     direction = camera.primary_directions(
         uv, cam_rot, cam_size, focal_length, screen_h_ratio
     )
-    state = vrng.seed(index, frame_seed)
     origin = jnp.broadcast_to(cam_pos, direction.shape)
     ifd_b = jnp.broadcast_to(ifd, direction.shape[:-1])
+    n = uv.shape[0]
+
+    if params.fold_spp and spp > 1:
+        # sample-stream stride: a shard-invariant odd constant (NOT the
+        # local pixel count — tiled multi-chip rendering must produce the
+        # same streams as single-device)
+        stride = jnp.uint32(2654435769)  # 2^32 / golden ratio
+        idx_f = (
+            index[None, :].astype(jnp.uint32)
+            + (jnp.arange(spp, dtype=jnp.uint32) * stride)[:, None]
+        ).reshape(-1)
+        state = vrng.seed(idx_f, frame_seed)
+        dir_f = jnp.tile(direction, (spp, 1))
+        org_f = jnp.tile(origin, (spp, 1))
+        ifd_f = jnp.tile(ifd_b, (spp,))
+        o_j, d_j, state = camera.dof_ray(
+            org_f, dir_f, cam_rot, jnp.float32(blur), ifd_f, state
+        )
+        if raytracing:
+            col, state, rays = integrator.trace(
+                o_j, d_j, state, scene, info, params
+            )
+        else:
+            col = integrator.direct_diffuse(o_j, d_j, scene, info, params)
+            rays = jnp.float32(spp * n)
+        return col.reshape(spp, n, 3).mean(axis=0), rays
+
+    state = vrng.seed(index, frame_seed)
 
     def sample_body(_, carry):
         col_sum, state, rays = carry

@@ -119,11 +119,12 @@ def funcs(p, fn):
     )
     f10 = x2 + z2 - fx10 * fx10
 
-    table = jnp.stack(
-        [f1, f2, f3, f4, f5, f6, f7, f8, f9, f10], axis=-1
-    )
-    idx = jnp.clip(fn - 1, 0, 9)
-    val = jnp.take_along_axis(table, idx[..., None], axis=-1)[..., 0]
+    # where-chain select, NOT take_along_axis: per-element selects lower to
+    # serial gathers on TPU; fn is a static-small id set.
+    fs = [f1, f2, f3, f4, f5, f6, f7, f8, f9, f10]
+    val = fs[0]
+    for k in range(1, 10):
+        val = jnp.where(fn == k + 1, fs[k], val)
     return jnp.where((fn >= 1) & (fn <= 10), val, jnp.float32(1e30))
 
 
