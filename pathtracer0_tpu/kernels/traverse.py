@@ -255,10 +255,13 @@ def _merge_analytic_batched(o, d, scene, info, closest, tri_idx, uu, vv,
         rot = scene.imp_rot[:ne]
         O = (o[:, None, :] - shift[None]) / scl[None]     # (B, I, 3)
         D = d[:, None, :] / scl[None]
-        rotated = (vm.length(rot) > 0.0)[None, :, None]
-        rotb = jnp.broadcast_to(rot[None], O.shape)
-        Or = jnp.where(rotated, vm.rotate(O, rotb), O)
-        Dr = jnp.where(rotated, vm.rotate(D, rotb), D)
+        if info.has_rotated_implicits:
+            rotated = (vm.length(rot) > 0.0)[None, :, None]
+            rotb = jnp.broadcast_to(rot[None], O.shape)
+            Or = jnp.where(rotated, vm.rotate(O, rotb), O)
+            Dr = jnp.where(rotated, vm.rotate(D, rotb), D)
+        else:
+            Or, Dr = O, D
         fnb = jnp.broadcast_to(scene.imp_fn[None, :ne], (B, ne))
         ts = imp_mod.ray_implicit(Or, Dr, fnb)            # (B, I)
         besti = jnp.argmin(ts, axis=1)
@@ -275,12 +278,15 @@ def _merge_analytic_batched(o, d, scene, info, closest, tri_idx, uu, vv,
     if info.num_ellipsoids > 0:
         ne = info.num_ellipsoids
         rot = scene.ell_rot[:ne]
-        rotated = (vm.length(rot) > 0.0)[None, :, None]
-        rotb = jnp.broadcast_to(rot[None], (B, ne, 3))
         ob = jnp.broadcast_to(o[:, None, :], (B, ne, 3))
         db = jnp.broadcast_to(d[:, None, :], (B, ne, 3))
-        ro = jnp.where(rotated, vm.rotate(ob, rotb), ob)
-        rd = jnp.where(rotated, vm.rotate(db, rotb), db)
+        if info.has_rotated_ellipsoids:
+            rotated = (vm.length(rot) > 0.0)[None, :, None]
+            rotb = jnp.broadcast_to(rot[None], (B, ne, 3))
+            ro = jnp.where(rotated, vm.rotate(ob, rotb), ob)
+            rd = jnp.where(rotated, vm.rotate(db, rotb), db)
+        else:
+            ro, rd = ob, db
         ts = intersect.ray_ellipsoid(
             ro, rd, scene.ell_c[None, :ne], scene.ell_rad[None, :ne],
             scene.ell_stretch[None, :ne],
@@ -549,14 +555,17 @@ def surface_sample(hit: Hit, origins, directions, scene,
     )
     c = ell_attr[..., 0:3]
     rot = ell_attr[..., 3:6]
-    rotated = (vm.length(rot) > 0.0)[..., None]
-    # Reference: N = normalize(o + t*d - c), in the rotated frame when the
-    # ellipsoid is rotated (frag.glsl:622-626).
-    ro = jnp.where(rotated, vm.rotate(origins, rot), origins)
-    rd = jnp.where(rotated, vm.rotate(directions, rot), directions)
-    local = ro + hit.t[..., None] * rd - c
-    ell_norm_rot = vm.rotate_back(vm.normalize(local), rot)
-    ell_norm = jnp.where(rotated, ell_norm_rot, vm.normalize(loc - c))
+    if info is not None and not info.has_rotated_ellipsoids:
+        ell_norm = vm.normalize(loc - c)
+    else:
+        rotated = (vm.length(rot) > 0.0)[..., None]
+        # Reference: N = normalize(o + t*d - c), in the rotated frame when
+        # the ellipsoid is rotated (frag.glsl:622-626).
+        ro = jnp.where(rotated, vm.rotate(origins, rot), origins)
+        rd = jnp.where(rotated, vm.rotate(directions, rot), directions)
+        local = ro + hit.t[..., None] * rd - c
+        ell_norm_rot = vm.rotate_back(vm.normalize(local), rot)
+        ell_norm = jnp.where(rotated, ell_norm_rot, vm.normalize(loc - c))
     ell_mat = ell_attr[..., 6].astype(jnp.int32)
 
     is_tri = (hit.kind == 1)[..., None]
@@ -586,9 +595,13 @@ def surface_sample(hit: Hit, origins, directions, scene,
         imat = iattr[..., 10].astype(jnp.int32)
         O = (origins - ishift) / iscale
         D = directions / iscale
-        irotated = (vm.length(irot) > 0.0)[..., None]
-        Or = jnp.where(irotated, vm.rotate(O, irot), O)
-        Dr = jnp.where(irotated, vm.rotate(D, irot), D)
+        if info.has_rotated_implicits:
+            irotated = (vm.length(irot) > 0.0)[..., None]
+            Or = jnp.where(irotated, vm.rotate(O, irot), O)
+            Dr = jnp.where(irotated, vm.rotate(D, irot), D)
+        else:
+            irotated = jnp.zeros(O.shape[:-1] + (1,), bool)
+            Or, Dr = O, D
         p_local = Or + hit.t[..., None] * Dr
         grad = imp_mod.gradient(p_local, ifn)
         # Reference net normal is +normalize(df): gradient() returns negated

@@ -288,6 +288,12 @@ def pack_scene(scene, config: RenderConfig,
         ),
         has_maps=has_maps,
         has_normal_maps=has_normal_maps,
+        has_rotated_ellipsoids=bool(
+            np.any(np.abs(np.asarray(scene.ell_rot, np.float32)) > 0)
+        ),
+        has_rotated_implicits=bool(
+            np.any(np.abs(np.asarray(scene.imp_rot, np.float32)) > 0)
+        ),
     )
     # Device-resident pytree: one host->device transfer at build time, like
     # the reference's one-time SSBO uploads.
@@ -311,3 +317,7 @@ class StaticSceneInfo(NamedTuple):
     # gates for the mapMtl and TBN stages)
     has_maps: bool = True
     has_normal_maps: bool = True
+    # Any analytic primitive carries a nonzero rotation (compile-time gate
+    # for the per-ray rotation-matrix math in the merge/normal paths)
+    has_rotated_ellipsoids: bool = True
+    has_rotated_implicits: bool = True
