@@ -1,0 +1,186 @@
+"""Vectorized LBVH builder for large scenes (HBM-streamed traversal).
+
+The reference's recursive SAH builder (dispatch.java:1647-1752, mirrored in
+accel/bvh.py) is fine for small meshes but is Python-recursive per node —
+hours at the reference's own 4M-triangle scale anecdote (dispatch.java:1798).
+This builder is fully vectorized NumPy:
+
+  1. Morton-sort triangle centroids (30-bit codes, 10 bits/axis) so nearby
+     triangles are contiguous in memory;
+  2. pack the sorted order densely into 128-lane leaf rows (up to 14
+     triangles of 9 floats each, the Mosaic packet-kernel layout —
+     kernels/wavefront.py);
+  3. build ONE implicit complete binary tree over the (pow2-padded) leaf
+     rows: node i's children are 2i+1 and 2i+2, leaves are rows — AABBs
+     are computed bottom-up one level at a time (pure array reshapes), so
+     a 1M-triangle build takes seconds, not hours.
+
+The tree splits at a "cut" level into a VMEM-resident top (a few thousand
+8-float AABB rows) and HBM-resident *treelets*: TREELET_ROWS consecutive
+leaf rows each, DMA-streamed by kernels/wavefront.trace_streamed. Empty
+rows carry inverted AABBs (min=+inf) that never pass a slab test, and
+empty triangle slots carry zeroed edges whose Moller-Trumbore determinant
+is 0, so padding self-masks.
+
+Build quality note: Morton order + complete-tree topology is the classic
+LBVH (Lauterbach et al.) — typically 10-30% more node visits than a SAH
+tree, traded for a build that is ~1000x faster at this scale.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+TRIS_PER_ROW = 14      # 14 * 9 floats = 126 of 128 lanes
+TREELET_ROWS = 64      # rows per HBM treelet: 64 * 128 * 4 B = 32 KB DMA
+
+
+class StreamedForest(NamedTuple):
+    """Complete-tree forest for the streamed packet kernel."""
+
+    ctree_f: np.ndarray      # (M, 8) f32 complete-tree AABBs (top part only
+                             #   is kept VMEM-resident; M = 2*n_treelets - 1)
+    tri_rows: np.ndarray     # (R_pad, 128) f32 leaf-packed triangles
+    sub_f: np.ndarray        # (n_treelets * TREELET_ROWS, 128) f32: per-
+                             #   treelet complete SUBTREE AABBs, one node
+                             #   per 128-lane row (min xyz at lanes 0-2,
+                             #   max xyz at 3-5; Mosaic DMA slices must be
+                             #   128-aligned in the minor dim). The subtree
+                             #   has TREELET_ROWS/2 leaves, each covering a
+                             #   PAIR of triangle rows: heap node
+                             #   k >= TREELET_ROWS/2 - 1 maps to rows
+                             #   2*(k - (TREELET_ROWS/2 - 1)) and +1.
+    row_perm: np.ndarray     # (R_pad * TRIS_PER_ROW,) i32 slot -> original
+                             #   triangle id (-1 for padding)
+    n_rows: int              # real (unpadded) leaf-row count
+    n_treelets: int          # R_pad / TREELET_ROWS
+    cut_nodes: int           # nodes in the VMEM-resident top tree
+                             #   (= 2 * n_treelets - 1)
+    leaf_depth: int          # levels below the root down to single rows
+
+
+def morton_codes(centroids: np.ndarray, bits: int = 10) -> np.ndarray:
+    """30-bit Morton codes of centroid positions, normalized to the AABB."""
+    lo = centroids.min(axis=0)
+    hi = centroids.max(axis=0)
+    span = np.maximum(hi - lo, 1e-12)
+    q = np.clip(((centroids - lo) / span * (2 ** bits - 1)), 0,
+                2 ** bits - 1).astype(np.uint64)
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x09249249)
+        return v
+
+    return (spread(q[:, 0]) << np.uint64(2)) | (
+        spread(q[:, 1]) << np.uint64(1)) | spread(q[:, 2])
+
+
+def build_streamed(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
+                   tris_per_row: int = TRIS_PER_ROW,
+                   treelet_rows: int = TREELET_ROWS) -> StreamedForest:
+    """Build the streamed forest for T triangles (float32/64 (T, 3) each)."""
+    t = v1.shape[0]
+    centroids = (v1 + v2 + v3) / 3.0
+    order = np.argsort(morton_codes(centroids), kind="stable").astype(
+        np.int64
+    )
+
+    n_rows = -(-t // tris_per_row)
+    # pad rows to a full multiple of treelet_rows, then to a power of two
+    # of treelets so the complete tree is well-formed
+    n_treelets = max(-(-n_rows // treelet_rows), 1)
+    n_treelets = 1 << int(np.ceil(np.log2(n_treelets)))
+    r_pad = n_treelets * treelet_rows
+
+    # --- dense leaf-row packing (vectorized scatter) ----------------------
+    tri_rows = np.zeros((r_pad, 128), np.float32)
+    row_perm = np.full(r_pad * tris_per_row, -1, np.int32)
+    rows = np.arange(t) // tris_per_row
+    slots = np.arange(t) % tris_per_row
+    a = v1[order].astype(np.float32)
+    e1 = (v2[order] - v1[order]).astype(np.float32)
+    e2 = (v3[order] - v1[order]).astype(np.float32)
+    packed = np.concatenate([a, e1, e2], axis=1)          # (T, 9)
+    for c in range(9):
+        tri_rows[rows, slots * 9 + c] = packed[:, c]
+    row_perm[rows * tris_per_row + slots] = order.astype(np.int32)
+
+    # --- per-row AABBs -----------------------------------------------------
+    INF = np.float32(np.inf)
+    row_min = np.full((r_pad, 3), INF, np.float32)
+    row_max = np.full((r_pad, 3), -INF, np.float32)
+    pts = np.stack([v1[order], v2[order], v3[order]], axis=1)  # (T, 3, 3)
+    tmin = pts.min(axis=1).astype(np.float32)
+    tmax = pts.max(axis=1).astype(np.float32)
+    np.minimum.at(row_min, rows, tmin)
+    np.maximum.at(row_max, rows, tmax)
+
+    # --- complete tree, bottom-up ------------------------------------------
+    leaf_depth = int(np.log2(r_pad))
+    # level arrays from leaves up; level k has r_pad >> (leaf_depth - k)
+    # nodes. Store all levels concatenated in heap order: node i children
+    # 2i+1, 2i+2; level k occupies [2^k - 1, 2^(k+1) - 1).
+    n_nodes = 2 * r_pad - 1
+    ctree_min = np.full((n_nodes, 3), INF, np.float32)
+    ctree_max = np.full((n_nodes, 3), -INF, np.float32)
+    # leaves at heap positions [r_pad - 1, 2*r_pad - 1)
+    ctree_min[r_pad - 1:] = row_min
+    ctree_max[r_pad - 1:] = row_max
+    lo = r_pad - 1
+    size = r_pad
+    while size > 1:
+        child_min = ctree_min[lo:lo + size].reshape(size // 2, 2, 3)
+        child_max = ctree_max[lo:lo + size].reshape(size // 2, 2, 3)
+        plo = lo // 2
+        ctree_min[plo:plo + size // 2] = child_min.min(axis=1)
+        ctree_max[plo:plo + size // 2] = child_max.max(axis=1)
+        lo = plo
+        size //= 2
+
+    # VMEM-resident top tree: down to treelet granularity.
+    cut_nodes = 2 * n_treelets - 1
+    ctree_f = np.zeros((cut_nodes, 8), np.float32)
+    ctree_f[:, 0:3] = ctree_min[:cut_nodes]
+    ctree_f[:, 3:6] = ctree_max[:cut_nodes]
+
+    # Per-treelet subtree AABBs (HBM, DMA'd with the rows): a complete
+    # subtree over PAIRS of triangle rows, rebuilt bottom-up from the row
+    # AABBs (vectorized across all treelets at once). One heap node per
+    # 128-lane row for DMA alignment; leaves are row pairs.
+    n_pairs = treelet_rows // 2
+    sub_nodes = 2 * n_pairs - 1
+    sub_min = np.full((n_treelets, treelet_rows, 3), INF, np.float32)
+    sub_max = np.full((n_treelets, treelet_rows, 3), -INF, np.float32)
+    pm = row_min.reshape(n_treelets, n_pairs, 2, 3).min(axis=2)
+    px = row_max.reshape(n_treelets, n_pairs, 2, 3).max(axis=2)
+    sub_min[:, n_pairs - 1: 2 * n_pairs - 1] = pm
+    sub_max[:, n_pairs - 1: 2 * n_pairs - 1] = px
+    lo = n_pairs - 1
+    size = n_pairs
+    while size > 1:
+        cmin = sub_min[:, lo:lo + size].reshape(n_treelets, size // 2, 2, 3)
+        cmax = sub_max[:, lo:lo + size].reshape(n_treelets, size // 2, 2, 3)
+        plo = lo // 2
+        sub_min[:, plo:plo + size // 2] = cmin.min(axis=2)
+        sub_max[:, plo:plo + size // 2] = cmax.max(axis=2)
+        lo = plo
+        size //= 2
+    sub_f = np.zeros((n_treelets * treelet_rows, 128), np.float32)
+    sub_f[:, 0:3] = sub_min.reshape(-1, 3)
+    sub_f[:, 3:6] = sub_max.reshape(-1, 3)
+
+    return StreamedForest(
+        ctree_f=ctree_f,
+        sub_f=sub_f,
+        tri_rows=tri_rows,
+        row_perm=row_perm,
+        n_rows=n_rows,
+        n_treelets=n_treelets,
+        cut_nodes=cut_nodes,
+        leaf_depth=leaf_depth,
+    )

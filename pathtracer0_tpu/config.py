@@ -55,6 +55,11 @@ class RenderConfig:
     ray_batch_size: int = 1 << 17   # rays per device megabatch
     traversal_stack_depth: int = 64  # frag.glsl:465 `int stack[64]`
     refraction_stack_depth: int = 10  # frag.glsl:136 MAX_REFRACTIONSTACK
+    # Meshes above this many triangles skip the reference-parity SAH
+    # builder (Python-recursive, hours at millions of tris) and build the
+    # vectorized Morton/complete-tree LBVH traced by the HBM-streamed
+    # kernel instead (accel/lbvh.py, kernels/wavefront.trace_streamed).
+    stream_threshold: int = 65536
 
     @property
     def screen_h_ratio(self) -> float:

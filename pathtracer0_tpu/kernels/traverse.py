@@ -390,6 +390,109 @@ def _ray_scene_pallas(origins, directions, scene, info, active,
                prim=prim), o
 
 
+def _spatial_sort_key(o, d, scene_lo, scene_hi, bits: int = 8):
+    """Ray-coherence sort key: Morton code of the quantized ORIGIN (packet
+    gating needs spatial locality, not just matching direction signs)
+    interleaved above the direction octant. ~18 bits total."""
+    span = jnp.maximum(scene_hi - scene_lo, 1e-6)
+    q = jnp.clip(
+        ((o - scene_lo) / span * (2 ** bits - 1)).astype(jnp.int32),
+        0, 2 ** bits - 1,
+    )
+
+    def spread(v):  # standard 10-bit Morton spread masks (superset of 6)
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    morton = (
+        (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    )
+    octant = (
+        (d[:, 0] < 0).astype(jnp.int32) * 4
+        + (d[:, 1] < 0).astype(jnp.int32) * 2
+        + (d[:, 2] < 0).astype(jnp.int32)
+    )
+    return (morton << 3) | octant
+
+
+def _ray_scene_streamed(origins, directions, scene, info, active,
+                        interpret: bool, block_rows: int = 32,
+                        sort_rays: bool = True):
+    """Scene query through the HBM-streamed LBVH kernel
+    (kernels/wavefront.trace_streamed) + batched analytic merge. Streamed
+    scenes have no SAH forest, so there is no vmapped fallback; on CPU the
+    kernel runs in interpreter mode.
+
+    sort_rays defaults ON here (unlike the VMEM-resident paths): at
+    millions of triangles an incoherent block's any-hit gating degrades to
+    visiting most treelets, so the argsort+scatter cost is repaid many
+    times over by spatially clustered packets."""
+    from . import wavefront
+
+    o = origins + jnp.float32(1e-4) * directions  # frag.glsl:549
+    B = o.shape[0]
+    rb = wavefront.LANES * block_rows
+    while rb > 1024 and rb > B:
+        block_rows //= 2
+        rb = wavefront.LANES * block_rows
+    b_pad = ((B + rb - 1) // rb) * rb
+    pad = b_pad - B
+
+    if active is None:
+        t_init = jnp.full((B,), MISS)
+    else:
+        t_init = jnp.where(active, MISS, 0.0)
+
+    o_in, d_in = o, directions
+    if sort_rays and B >= rb:
+        key = _spatial_sort_key(
+            o, directions, scene.st_top[0, 0:3], scene.st_top[0, 3:6]
+        )
+        # dead lanes sort to the back so live packets stay dense
+        key = jnp.where(t_init > 0.0, key, jnp.int32(2 ** 30))
+        order = jnp.argsort(key, stable=True)
+        o_in = o[order]
+        d_in = directions[order]
+        t_init = t_init[order]
+
+    o3 = jnp.concatenate([o_in, jnp.zeros((pad, 3), o.dtype)]).T
+    d3 = jnp.concatenate(
+        [d_in, jnp.ones((pad, 3), directions.dtype)]
+    ).T
+    t_init = jnp.concatenate([t_init, jnp.zeros((pad,), jnp.float32)])
+
+    t, uu, vv, idx = wavefront.trace_streamed(
+        o3, d3, t_init, scene.st_top, scene.st_tris, scene.st_sub,
+        n_treelets=info.st_n_treelets,
+        treelet_rows=info.st_treelet_rows,
+        leaf_cap=info.st_leaf_cap,
+        block_rows=block_rows, interpret=interpret,
+    )
+    t, uu, vv, idx = t[:B], uu[:B], vv[:B], idx[:B]
+    if sort_rays and B >= rb:
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(B, dtype=order.dtype)
+        )
+        t, uu, vv, idx = t[inv], uu[inv], vv[inv], idx[inv]
+    tri_idx = jnp.where(
+        idx >= 0, scene.st_perm[jnp.maximum(idx, 0)], -1
+    ).astype(jnp.int32)
+    obj = jnp.where(
+        tri_idx >= 0, scene.tri_obj[jnp.maximum(tri_idx, 0)], -1
+    ).astype(jnp.int32)
+    kind = jnp.where(tri_idx >= 0, 1, 0).astype(jnp.int32)
+    prim = jnp.full((B,), -1, jnp.int32)
+
+    closest, tri_idx, uu, vv, obj, kind, prim = _merge_analytic_batched(
+        o, directions, scene, info, t, tri_idx, uu, vv, obj, kind, prim,
+    )
+    return Hit(t=closest, tri=tri_idx, u=uu, v=vv, obj=obj, kind=kind,
+               prim=prim), o
+
+
 def probe_forest_t(origins, directions, scene, info, parent,
                    stack_depth: int = 64, pallas: str = "auto"):
     """Thickness/visibility probe: closest triangle-hit distance only
@@ -410,6 +513,15 @@ def probe_forest_t(origins, directions, scene, info, parent,
     elif pallas == "interpret":
         use_pallas = info.wf_ok
         interpret = True
+    if info.streamed:
+        interpret = (pallas == "interpret"
+                     or jax.default_backend() == "cpu")
+        hit, _ = _ray_scene_streamed(
+            origins, directions, scene,
+            info._replace(num_ellipsoids=0, num_implicits=0),
+            None, interpret,
+        )
+        return hit.t
     if use_pallas and info.num_objects > 0:
         from . import wavefront
 
@@ -459,6 +571,15 @@ def ray_scene(origins, directions, scene, info, stack_depth: int = 64,
 
     Returns (Hit, nudged_origins).
     """
+    if info.streamed:
+        # No SAH forest exists for streamed scenes — the kernel is the
+        # only triangle path, so off-TPU it ALWAYS runs interpreted
+        # (pallas="off" has no meaning here).
+        interpret = (pallas == "interpret"
+                     or jax.default_backend() == "cpu")
+        return _ray_scene_streamed(
+            origins, directions, scene, info, active, interpret,
+        )
     use_pallas = False
     interpret = False
     if pallas == "auto":

@@ -142,6 +142,283 @@ def _brute_kernel(
     jax.lax.fori_loop(0, n_rows, row_body, 0)
 
 
+def _streamed_kernel(
+    top_ref,        # (M_top, 8) f32 VMEM: complete-tree AABBs (heap order)
+    tris_hbm_ref,   # (R_pad, 128) f32 in HBM/ANY: leaf-packed triangles
+    sub_hbm_ref,    # (n_treelets * treelet_rows, 128) f32 HBM: per-treelet
+                    #   subtree AABBs, one node/row (heap order; leaves are
+                    #   row PAIRS — accel/lbvh.py)
+    o_ref,          # (3, RS, 128) f32
+    d_ref,          # (3, RS, 128) f32
+    tin_ref,        # (RS, 128) f32
+    t_ref,          # out (RS, 128) f32
+    u_ref,          # out
+    v_ref,          # out
+    idx_ref,        # out i32: global_row * leaf_cap + slot
+    stack_ref,      # SMEM (STACK_DEPTH,) i32: top-tree stack
+    substack_ref,   # SMEM (STACK_DEPTH,) i32: within-treelet stack
+    scratch_ref,    # VMEM (2, treelet_rows, 128) f32 DMA landing buffers
+    sub_scratch_ref,  # VMEM (2, treelet_rows, 128) f32 subtree landing
+    sem_ref,        # DMA semaphores (2, 2): [slot, rows/subtree]
+    *,
+    n_treelets: int,
+    treelet_rows: int,
+    leaf_cap: int,
+):
+    """HBM-streamed two-level packet traversal (accel/lbvh.py layout).
+
+    The top of one implicit complete binary tree (children of heap node i
+    are 2i+1/2i+2 — no child-pointer loads at all) lives in VMEM down to
+    treelet granularity; a treelet is `treelet_rows` consecutive packed
+    triangle rows in HBM plus its own complete-subtree AABBs, DMA'd into
+    double-buffered VMEM scratch on first use. Inside a treelet the SAME
+    stack walk continues over the DMA'd subtree, so only rows whose AABB
+    beats a ray's closest-t pay the (14-triangle) row test — brute-testing
+    whole treelets cost ~50x more on a 1M-triangle scene.
+
+    Double buffering: when a treelet is popped, its two DMAs start; the
+    previous treelet is walked while the copies are in flight.
+    """
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
+
+    t_ref[...] = tin_ref[...]
+    u_ref[...] = jnp.zeros_like(u_ref)
+    v_ref[...] = jnp.zeros_like(v_ref)
+    idx_ref[...] = jnp.full_like(idx_ref, -1)
+
+    stack_ref[0] = 0
+
+    sgn_x = jnp.sum(dx) >= 0.0
+    sgn_y = jnp.sum(dy) >= 0.0
+    sgn_z = jnp.sum(dz) >= 0.0
+
+    def entry_dist(node):
+        tx1 = (top_ref[node, 0] - ox) * inv_dx
+        tx2 = (top_ref[node, 3] - ox) * inv_dx
+        ty1 = (top_ref[node, 1] - oy) * inv_dy
+        ty2 = (top_ref[node, 4] - oy) * inv_dy
+        tz1 = (top_ref[node, 2] - oz) * inv_dz
+        tz2 = (top_ref[node, 5] - oz) * inv_dz
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+            jnp.minimum(tz1, tz2),
+        )
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+            jnp.maximum(tz1, tz2),
+        )
+        hit = (t_far >= t_near) & (t_far > 0.0)
+        return jnp.where(hit, jnp.maximum(t_near, 0.0), MISS)
+
+    def start_dmas(t_id, slot):
+        row0 = t_id * treelet_rows
+        rows = pltpu.make_async_copy(
+            tris_hbm_ref.at[pl.ds(row0, treelet_rows), :],
+            scratch_ref.at[slot],
+            sem_ref.at[slot, 0],
+        )
+        sub = pltpu.make_async_copy(
+            sub_hbm_ref.at[pl.ds(row0, treelet_rows), :],
+            sub_scratch_ref.at[slot],
+            sem_ref.at[slot, 1],
+        )
+        return rows, sub
+
+    def sub_entry_dist(slot, node):
+        tx1 = (sub_scratch_ref[slot, node, 0] - ox) * inv_dx
+        tx2 = (sub_scratch_ref[slot, node, 3] - ox) * inv_dx
+        ty1 = (sub_scratch_ref[slot, node, 1] - oy) * inv_dy
+        ty2 = (sub_scratch_ref[slot, node, 4] - oy) * inv_dy
+        tz1 = (sub_scratch_ref[slot, node, 2] - oz) * inv_dz
+        tz2 = (sub_scratch_ref[slot, node, 5] - oz) * inv_dz
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+            jnp.minimum(tz1, tz2),
+        )
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+            jnp.maximum(tz1, tz2),
+        )
+        hit = (t_far >= t_near) & (t_far > 0.0)
+        return jnp.where(hit, jnp.maximum(t_near, 0.0), MISS)
+
+    def test_row(t_id, slot, row):
+        """14 Moller-Trumbore tests of one DMA'd row vs the block."""
+        row0 = t_id * treelet_rows
+        for j in range(leaf_cap):
+            base = 9 * j
+            v1x = scratch_ref[slot, row, base + 0]
+            v1y = scratch_ref[slot, row, base + 1]
+            v1z = scratch_ref[slot, row, base + 2]
+            e1x = scratch_ref[slot, row, base + 3]
+            e1y = scratch_ref[slot, row, base + 4]
+            e1z = scratch_ref[slot, row, base + 5]
+            e2x = scratch_ref[slot, row, base + 6]
+            e2y = scratch_ref[slot, row, base + 7]
+            e2z = scratch_ref[slot, row, base + 8]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / det
+            sx = ox - v1x
+            sy = oy - v1y
+            sz = oz - v1z
+            u = (sx * px + sy * py + sz * pz) * inv_det
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = (
+                (jnp.abs(det) >= EPSILON)
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > EPSILON)
+                & (t < t_ref[...])
+            )
+            t_ref[...] = jnp.where(ok, t, t_ref[...])
+            u_ref[...] = jnp.where(ok, u, u_ref[...])
+            v_ref[...] = jnp.where(ok, v, v_ref[...])
+            idx_ref[...] = jnp.where(
+                ok, (row0 + row) * leaf_cap + j, idx_ref[...]
+            )
+
+    n_pairs = treelet_rows // 2
+
+    def test_treelet(t_id, slot):
+        """Walk one DMA'd treelet's complete subtree (leaves = row pairs);
+        only pairs whose AABB beats some ray's closest-t pay row tests."""
+        substack_ref[0] = 0  # local heap root
+
+        def scond(ssp):
+            return ssp > 0
+
+        def sbody(ssp):
+            k = substack_ref[ssp - 1]
+            ssp = ssp - 1
+            is_row = k >= (n_pairs - 1)
+
+            def row_fn(ssp, k):
+                pair = k - (n_pairs - 1)
+                test_row(t_id, slot, 2 * pair)
+                test_row(t_id, slot, 2 * pair + 1)
+                return ssp
+
+            def inner_fn(ssp, k):
+                left = 2 * k + 1
+                right = 2 * k + 2
+                enter_l = sub_entry_dist(slot, left)
+                enter_r = sub_entry_dist(slot, right)
+                t_cur = t_ref[...]
+                packed = (enter_l < t_cur).astype(jnp.int32) + (
+                    (enter_r < t_cur).astype(jnp.int32) << 16
+                )
+                s = jnp.sum(packed)
+                hit_l = (s & 0xFFFF) > 0
+                hit_r = s >= (1 << 16)
+                # rows are Morton-ordered; near/far ordering matters less
+                # inside a 64-row treelet — push right then left
+                substack_ref[jnp.minimum(ssp, STACK_DEPTH - 1)] = right
+                ssp1 = ssp + hit_r.astype(jnp.int32)
+                substack_ref[jnp.minimum(ssp1, STACK_DEPTH - 1)] = left
+                return ssp1 + hit_l.astype(jnp.int32)
+
+            return jax.lax.cond(is_row, row_fn, inner_fn, ssp, k)
+
+        jax.lax.while_loop(scond, sbody, jnp.int32(1))
+
+    def internal_fn(carry, node):
+        sp, pend_id, pend_slot = carry
+        left = 2 * node + 1
+        right = 2 * node + 2
+        enter_l = entry_dist(left)
+        enter_r = entry_dist(right)
+        t_cur = t_ref[...]
+        packed = (enter_l < t_cur).astype(jnp.int32) + (
+            (enter_r < t_cur).astype(jnp.int32) << 16
+        )
+        s = jnp.sum(packed)
+        hit_l = (s & 0xFFFF) > 0
+        hit_r = s >= (1 << 16)
+        cdx = (top_ref[left, 0] + top_ref[left, 3]) - (
+            top_ref[right, 0] + top_ref[right, 3])
+        cdy = (top_ref[left, 1] + top_ref[left, 4]) - (
+            top_ref[right, 1] + top_ref[right, 4])
+        cdz = (top_ref[left, 2] + top_ref[left, 5]) - (
+            top_ref[right, 2] + top_ref[right, 5])
+        ax, ay, az = jnp.abs(cdx), jnp.abs(cdy), jnp.abs(cdz)
+        use_x = (ax >= ay) & (ax >= az)
+        use_y = (~use_x) & (ay >= az)
+        cd = jnp.where(use_x, cdx, jnp.where(use_y, cdy, cdz))
+        sgn = jnp.where(use_x, sgn_x, jnp.where(use_y, sgn_y, sgn_z))
+        l_near = jnp.where(sgn, cd < 0.0, cd > 0.0)
+        first = jnp.where(l_near, right, left)
+        second = jnp.where(l_near, left, right)
+        push_first = jnp.where(l_near, hit_r, hit_l)
+        push_second = jnp.where(l_near, hit_l, hit_r)
+        stack_ref[jnp.minimum(sp, STACK_DEPTH - 1)] = jnp.where(
+            push_first, first, second
+        )
+        sp1 = sp + push_first.astype(jnp.int32)
+        stack_ref[jnp.minimum(sp1, STACK_DEPTH - 1)] = second
+        sp2 = sp1 + push_second.astype(jnp.int32)
+        return sp2, pend_id, pend_slot
+
+    def treelet_fn(carry, node):
+        sp, pend_id, pend_slot = carry
+        t_id = node - (n_treelets - 1)
+        new_slot = 1 - pend_slot
+        rows, sub = start_dmas(t_id, new_slot)
+        rows.start()
+        sub.start()
+
+        # retire the PREVIOUS treelet while this one's DMAs are in flight
+        @pl.when(pend_id >= 0)
+        def _():
+            prows, psub = start_dmas(pend_id, pend_slot)
+            prows.wait()
+            psub.wait()
+            test_treelet(pend_id, pend_slot)
+
+        return sp, t_id, new_slot
+
+    def cond(carry):
+        sp, pend_id, _ = carry
+        return (sp > 0) | (pend_id >= 0)
+
+    def body(carry):
+        sp, pend_id, pend_slot = carry
+
+        def drain(c):
+            sp, pid, slot = c
+            prows, psub = start_dmas(pid, slot)
+            prows.wait()
+            psub.wait()
+            test_treelet(pid, slot)
+            return sp, jnp.int32(-1), slot
+
+        def step(c):
+            sp, pid, slot = c
+            node = stack_ref[sp - 1]
+            is_treelet = node >= (n_treelets - 1)
+            return jax.lax.cond(
+                is_treelet, treelet_fn, internal_fn,
+                (sp - 1, pid, slot), node,
+            )
+
+        return jax.lax.cond(sp == 0, drain, step, carry)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(-1),
+                                    jnp.int32(0)))
+
+
 def _traverse_kernel(
     roots_ref,      # scalar-prefetch: (MAX_ROOTS + 1,) i32: [count, roots...]
     nodes_f_ref,    # (N, 8) f32 row: min x/y/z, max x/y/z, pad, pad
@@ -411,6 +688,79 @@ def trace_forest(
         ],
         interpret=interpret,
     )(roots, nodes_f, nodes_i, tris, o_b, d_b, t_b)
+    return (
+        t.reshape(r), u.reshape(r), v.reshape(r), idx.reshape(r)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_treelets", "treelet_rows", "leaf_cap", "block_rows",
+                     "interpret"),
+)
+def trace_streamed(
+    o3,        # (3, R) f32, R % (block_rows*128) == 0
+    d3,        # (3, R) f32
+    t_init,    # (R,) f32 (0 disables a lane)
+    top_f,     # (2*n_treelets - 1, 8) f32 heap-order top-tree AABBs
+    tris,      # (n_treelets * treelet_rows, 128) f32 leaf-packed rows (HBM)
+    sub_f,     # (n_treelets * treelet_rows, 128) f32 subtree AABBs (HBM)
+    *,
+    n_treelets: int,
+    treelet_rows: int,
+    leaf_cap: int,
+    block_rows: int = 128,
+    interpret: bool = False,
+):
+    """Closest-hit over an HBM-streamed LBVH (accel/lbvh.py).
+
+    Returns (t, u, v, idx), idx = global_row * leaf_cap + slot (-1 miss);
+    map through StreamedForest.row_perm for original triangle ids.
+    """
+    rb = block_rows * LANES
+    r = o3.shape[1]
+    assert r % rb == 0, (r, rb)
+    grid = (r // rb,)
+    o_b = o3.reshape(3, r // LANES, LANES)
+    d_b = d3.reshape(3, r // LANES, LANES)
+    t_b = t_init.reshape(r // LANES, LANES)
+    shape = (r // LANES, LANES)
+
+    t, u, v, idx = pl.pallas_call(
+        functools.partial(
+            _streamed_kernel, n_treelets=n_treelets,
+            treelet_rows=treelet_rows, leaf_cap=leaf_cap,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # top_f
+            pl.BlockSpec(memory_space=pltpu.ANY),    # tris stay in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),    # subtree AABBs in HBM
+            pl.BlockSpec((3, block_rows, LANES), lambda i: (0, i, 0)),
+            pl.BlockSpec((3, block_rows, LANES), lambda i: (0, i, 0)),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((2, treelet_rows, LANES), jnp.float32),
+            pltpu.VMEM((2, treelet_rows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(top_f, tris, sub_f, o_b, d_b, t_b)
     return (
         t.reshape(r), u.reshape(r), v.reshape(r), idx.reshape(r)
     )

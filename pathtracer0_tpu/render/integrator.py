@@ -271,7 +271,7 @@ def direct_diffuse(origins, directions, scene, info, params: TraceParams):
     # the parent. The per-object vmapped probe is kept for the XLA path —
     # it cannot run batched on TPU (large vmapped stack-walks fault the
     # TPU worker; observed on v5e).
-    if info.num_objects > 0:
+    if info.num_objects > 0 or info.streamed:
         si = traverse.probe_forest_t(
             surf.loc, directions, scene, info, parent=hit.obj,
             stack_depth=params.stack_depth, pallas=params.pallas,

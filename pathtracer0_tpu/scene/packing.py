@@ -72,6 +72,13 @@ class DeviceScene(NamedTuple):
     # 18-26 v1/v2/v3.
     tri_attr: jax.Array    # (T, 27) f32
 
+    # HBM-streamed LBVH (accel/lbvh.py + kernels/wavefront.trace_streamed):
+    # populated when the scene exceeds config.stream_threshold triangles.
+    st_top: jax.Array      # (2*n_treelets - 1, 8) f32 top-tree AABBs
+    st_tris: jax.Array     # (n_treelets * treelet_rows, 128) f32 rows
+    st_sub: jax.Array      # (n_treelets * treelet_rows, 128) f32 subtree
+    st_perm: jax.Array     # (rows * 14,) i32 slot -> original tri (-1 pad)
+
     # Materials (SSBO binding 14, dispatch.java:270-329)
     materials: jax.Array  # (M, 48) f32
 
@@ -106,36 +113,60 @@ def pack_scene(scene, config: RenderConfig,
                max_leaf: Optional[int] = None) -> DeviceScene:
     """Build the BVH forest and pack all host-side scene state to arrays."""
     t = scene.tris
-    n_tri = len(t)
+    n_list = len(t)
+    bulk = getattr(scene, "bulk_meshes", [])
 
-    def stack3(lst, pad_shape):
-        if lst:
-            return np.stack(lst).astype(np.float32)
-        return np.zeros(pad_shape, np.float32)
+    def field(name, width, dtype=np.float64):
+        """Combined per-triangle column: parsed/loose rows first, then the
+        bulk meshes (Scene.add_mesh) in registration order."""
+        parts = []
+        if n_list:
+            col = getattr(t, name)
+            parts.append(np.stack(col) if width else np.asarray(col))
+        parts += [bm[name] for bm in bulk]
+        if parts:
+            return np.concatenate(parts).astype(dtype)
+        return np.zeros((0, width) if width else (0,), dtype)
 
-    if n_tri:
-        v1 = np.stack(t.v1)
-        v2 = np.stack(t.v2)
-        v3 = np.stack(t.v3)
+    object_ranges = list(t.object_ranges)
+    ofs = n_list
+    for bm in bulk:
+        k = bm["v1"].shape[0]
+        object_ranges.append((ofs, ofs + k))
+        ofs += k
+    n_tri = ofs
+
+    def stack3(name, width=3):
+        return field(name, width, np.float32)
+
+    v1 = field("v1", 3)
+    v2 = field("v2", 3)
+    v3 = field("v3", 3)
+
+    streamed = n_tri > config.stream_threshold
+    empty_forest = bvh_mod.BVHArrays(
+        node_min=np.zeros((0, 3), np.float32),
+        node_max=np.zeros((0, 3), np.float32),
+        leaf_start=np.zeros(0, np.int32),
+        leaf_end=np.zeros(0, np.int32),
+        left=np.zeros(0, np.int32),
+        right=np.zeros(0, np.int32),
+        leaf_tri_indices=np.zeros(0, np.int32),
+        roots=np.zeros(0, np.int32),
+    )
+    if n_tri and not streamed:
         forest = bvh_mod.build_forest(
-            v1, v2, v3, t.object_ranges,
+            v1, v2, v3, object_ranges,
             sah_planes=config.sah_planes,
             max_depth=config.max_bvh_depth,
             max_leaf=max_leaf if max_leaf is not None
             else config.max_tris_in_leaf,
         )
     else:
-        v1 = v2 = v3 = np.zeros((0, 3), np.float64)
-        forest = bvh_mod.BVHArrays(
-            node_min=np.zeros((0, 3), np.float32),
-            node_max=np.zeros((0, 3), np.float32),
-            leaf_start=np.zeros(0, np.int32),
-            leaf_end=np.zeros(0, np.int32),
-            left=np.zeros(0, np.int32),
-            right=np.zeros(0, np.int32),
-            leaf_tri_indices=np.zeros(0, np.int32),
-            roots=np.zeros(0, np.int32),
-        )
+        # Large mesh: vectorized LBVH for the HBM-streamed kernel; the
+        # reference-parity SAH forest is skipped entirely (its recursive
+        # build is O(hours) at this scale).
+        forest = empty_forest
 
     # Pad empty arrays to size >= 1 so device gathers always have a target;
     # empty collections are skipped at trace time via static (Python) counts,
@@ -194,8 +225,34 @@ def pack_scene(scene, config: RenderConfig,
     wf_roots[1:1 + n_roots] = forest.roots[:n_roots]
 
     tri_obj = np.full(max(n_tri, 1), -1, np.int32)
-    for (start, end), root in zip(scene.tris.object_ranges, forest.roots):
-        tri_obj[start:end] = root
+    if streamed:
+        # streamed scenes carry the object ORDINAL (no per-object roots)
+        for k, (start, end) in enumerate(object_ranges):
+            tri_obj[start:end] = k
+    else:
+        for (start, end), root in zip(object_ranges, forest.roots):
+            tri_obj[start:end] = root
+
+    # ---- HBM-streamed LBVH (accel/lbvh.py) -------------------------------
+    if streamed:
+        from ..accel import lbvh
+
+        sf = lbvh.build_streamed(v1, v2, v3)
+        st_top = sf.ctree_f
+        st_tris = sf.tri_rows
+        st_sub = sf.sub_f
+        st_perm = sf.row_perm
+        st_n_treelets = sf.n_treelets
+        st_treelet_rows = lbvh.TREELET_ROWS
+        st_leaf_cap = lbvh.TRIS_PER_ROW
+    else:
+        st_top = np.zeros((1, 8), np.float32)
+        st_tris = np.zeros((1, 128), np.float32)
+        st_sub = np.zeros((1, 128), np.float32)
+        st_perm = np.full(1, -1, np.int32)
+        st_n_treelets = 0
+        st_treelet_rows = 0
+        st_leaf_cap = 0
 
     # Static texture-map presence flags: when no material references a map,
     # the whole mapMtl stage (12 bilinear samples/ray/bounce in the
@@ -206,12 +263,12 @@ def pack_scene(scene, config: RenderConfig,
     has_normal_maps = bool(mats.shape[0]) and bool((mats[:, 36] >= 0).any())
 
     # Combined attribute table for one-hot fetch (see DeviceScene.tri_attr)
-    n1a = stack3(t.n1, (0, 3))
-    n2a = stack3(t.n2, (0, 3))
-    n3a = stack3(t.n3, (0, 3))
-    uv1a = stack3(t.uv1, (0, 2))
-    uv2a = stack3(t.uv2, (0, 2))
-    uv3a = stack3(t.uv3, (0, 2))
+    n1a = stack3("n1")
+    n2a = stack3("n2")
+    n3a = stack3("n3")
+    uv1a = stack3("uv1", 2)
+    uv2a = stack3("uv2", 2)
+    uv3a = stack3("uv3", 2)
     tri_attr = np.zeros((max(n_tri, 1), 27), np.float32)
     if n_tri:
         tri_attr[:, 0:3] = n1a
@@ -220,9 +277,9 @@ def pack_scene(scene, config: RenderConfig,
         tri_attr[:, 9:11] = uv1a
         tri_attr[:, 11:13] = uv2a
         tri_attr[:, 13:15] = uv3a
-        tri_attr[:, 15] = np.asarray(t.has_uv, np.float32)
-        tri_attr[:, 16] = np.asarray(t.has_smooth, np.float32)
-        tri_attr[:, 17] = np.asarray(t.mat, np.float32)
+        tri_attr[:, 15] = field("has_uv", 0, np.float32)
+        tri_attr[:, 16] = field("has_smooth", 0, np.float32)
+        tri_attr[:, 17] = field("mat", 0, np.float32)
         tri_attr[:, 18:21] = v1.astype(np.float32)
         tri_attr[:, 21:24] = v2.astype(np.float32)
         tri_attr[:, 24:27] = v3.astype(np.float32)
@@ -231,15 +288,15 @@ def pack_scene(scene, config: RenderConfig,
         tri_v1=tri_pad(v1.astype(np.float32)),
         tri_v2=tri_pad(v2.astype(np.float32)),
         tri_v3=tri_pad(v3.astype(np.float32)),
-        tri_n1=tri_pad(stack3(t.n1, (0, 3))),
-        tri_n2=tri_pad(stack3(t.n2, (0, 3))),
-        tri_n3=tri_pad(stack3(t.n3, (0, 3))),
-        tri_uv1=tri_pad(stack3(t.uv1, (0, 2))),
-        tri_uv2=tri_pad(stack3(t.uv2, (0, 2))),
-        tri_uv3=tri_pad(stack3(t.uv3, (0, 2))),
-        tri_has_uv=pad1(np.asarray(t.has_uv, bool)),
-        tri_has_smooth=pad1(np.asarray(t.has_smooth, bool)),
-        tri_mat=pad1(np.asarray(t.mat, np.int32)),
+        tri_n1=tri_pad(n1a),
+        tri_n2=tri_pad(n2a),
+        tri_n3=tri_pad(n3a),
+        tri_uv1=tri_pad(uv1a),
+        tri_uv2=tri_pad(uv2a),
+        tri_uv3=tri_pad(uv3a),
+        tri_has_uv=pad1(field("has_uv", 0, bool)),
+        tri_has_smooth=pad1(field("has_smooth", 0, bool)),
+        tri_mat=pad1(field("mat", 0, np.int32)),
         node_min=pad1(forest.node_min, fill=np.float32(1e30)),
         node_max=pad1(forest.node_max, fill=np.float32(-1e30)),
         node_left=pad1(forest.left, fill=-1),
@@ -268,6 +325,10 @@ def pack_scene(scene, config: RenderConfig,
         wf_roots=wf_roots,
         tri_obj=tri_obj,
         tri_attr=tri_attr,
+        st_top=st_top,
+        st_tris=st_tris,
+        st_sub=st_sub,
+        st_perm=st_perm,
         materials=mats,
         tex_data=tex_data,
         tex_sizes=tex_sizes,
@@ -294,6 +355,11 @@ def pack_scene(scene, config: RenderConfig,
         has_rotated_implicits=bool(
             np.any(np.abs(np.asarray(scene.imp_rot, np.float32)) > 0)
         ),
+        streamed=streamed,
+        st_n_treelets=st_n_treelets,
+        st_treelet_rows=st_treelet_rows,
+        st_leaf_cap=st_leaf_cap,
+        num_tri_objects=len(object_ranges),
     )
     # Device-resident pytree: one host->device transfer at build time, like
     # the reference's one-time SSBO uploads.
@@ -321,3 +387,11 @@ class StaticSceneInfo(NamedTuple):
     # for the per-ray rotation-matrix math in the merge/normal paths)
     has_rotated_ellipsoids: bool = True
     has_rotated_implicits: bool = True
+    # HBM-streamed LBVH statics (scene > config.stream_threshold tris):
+    # triangles trace through kernels/wavefront.trace_streamed; there is
+    # NO reference-parity SAH forest and no vmapped traversal for these.
+    streamed: bool = False
+    st_n_treelets: int = 0
+    st_treelet_rows: int = 0
+    st_leaf_cap: int = 0
+    num_tri_objects: int = 0
