@@ -1,67 +1,156 @@
-"""Benchmark: Mrays/s on one chip for the standard workload.
+"""Benchmark suite: the five BASELINE.md configs on one chip.
 
-Prints ONE JSON line:
+Prints one JSON line per config (Mrays/s, samples/s, RMSE vs the committed
+golden) and ends with THE driver line:
   {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+(the last line is the headline config-#3 throughput; vs_baseline is
+relative to the 100 Mrays/s/chip north star, BASELINE.md:22-24).
 
-vs_baseline is relative to the 100 Mrays/s/chip north star from
-BASELINE.json (the reference publishes no numbers of its own — BASELINE.md).
+Timing methodology notes (all measured on this v5e setup):
+  * fresh random seeds per frame — the TPU tunnel caches (program, args)
+    result pairs, so fixed-seed reruns would measure the cache;
+  * a scalar is fetched per frame to force execution (dispatch is lazy);
+  * rays are counted exactly: one ray = one live scene query inside the
+    bounce loop (integrator.trace carries the counter).
 
-Workload (BASELINE config #3 flavor): OBJ mesh scene with BVH traversal +
-analytic spheres, full path tracing at 800x600, 4 spp/frame, 6 bounces.
-Rays are counted exactly: one ray = one live scene query inside the bounce
-loop (integrator.trace carries the counter).
+Goldens: tests/goldens/config{N}.png, rendered at GOLDEN_* resolution with
+seed GOLDEN_SEED (tests/test_goldens.py pins the same images on CPU).
 """
 import json
 import os
+import random
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+GOLDEN_W, GOLDEN_H, GOLDEN_SPP = 160, 120, 4
+GOLDEN_SEED = 1234
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "goldens")
+
+# (width, height, spp, bounces, raytracing)
+BENCH_PARAMS = {
+    1: (800, 600, 1, 6, False),
+    2: (800, 600, 64, 6, True),
+    3: (800, 600, 128, 6, True),
+    4: (800, 600, 256, 6, True),
+}
+HERO_SPP_TARGET = 4096
+
 
 def build_scene():
+    """Kept for profiling scripts: the config-#3 scene."""
+    from pathtracer0_tpu import scenes
+    return scenes.obj_bvh().build(max_leaf=4)
+
+
+def _frame_kwargs(cfg, info):
+    from pathtracer0_tpu.render.renderer import _frame_params
+
+    return dict(
+        info=info, params=_frame_params(cfg), width=cfg.width,
+        height=cfg.height, spp=cfg.samples_per_frame,
+        raytracing=cfg.raytracing, auto_focus=False,
+        cam_size=cfg.cam_size, focal_length=cfg.focal_length,
+        blur=cfg.blur, focal_distance=cfg.focal_distance,
+    )
+
+
+def run_config(n, rng, n_frames):
+    import jax.numpy as jnp
+    from pathtracer0_tpu import RenderConfig, scenes
+    from pathtracer0_tpu.render.renderer import render_frame
+    from pathtracer0_tpu.utils import image as img_util
+
+    w, h, spp, bounces, raytracing = BENCH_PARAMS[n]
+    dev, info = scenes.BUILDERS[n]().build(max_leaf=4)
+    cam, rot = scenes.CAMERAS[n]
+    cam = jnp.asarray(cam, jnp.float32)
+    rot = jnp.asarray(rot, jnp.float32)
+
+    # --- golden RMSE (fixed seed, small frame) --------------------------
+    gcfg = RenderConfig(width=GOLDEN_W, height=GOLDEN_H,
+                        samples_per_frame=GOLDEN_SPP, max_bounces=bounces,
+                        raytracing=raytracing, auto_focus=False, blur=0.0)
+    gimg, _ = render_frame(dev, cam, rot, jnp.uint32(GOLDEN_SEED),
+                           **_frame_kwargs(gcfg, info))
     import numpy as np
-    from pathtracer0_tpu import Scene
+    gimg = np.asarray(gimg)
+    gpath = os.path.join(GOLDEN_DIR, f"config{n}.png")
+    if os.path.exists(gpath):
+        golden = img_util.read_png(gpath)
+        rmse = img_util.rmse(np.clip(gimg, 0, 1), golden)
+    else:
+        rmse = None
 
-    sc = Scene()
-    sky = np.zeros((64, 128, 3), np.float32)
-    # simple gradient sky so bounces carry varied radiance
-    for row in range(64):
-        t = row / 63.0
-        sky[row] = (0.35 + 0.3 * t, 0.45 + 0.25 * t, 0.9 - 0.3 * t)
-    sc.set_sky(sky, "sky")
+    # --- throughput (full config, random seeds) -------------------------
+    # spp is capped per frame for timing; rays/s is spp-independent.
+    time_spp = min(spp, 8)
+    cfg = RenderConfig(width=w, height=h, samples_per_frame=time_spp,
+                       max_bounces=bounces, raytracing=raytracing,
+                       auto_focus=False, blur=0.001)
+    kw = _frame_kwargs(cfg, info)
+    img, r = render_frame(dev, cam, rot,
+                          jnp.uint32(rng.randrange(1, 2 ** 31)), **kw)
+    _ = float(r)
+    t0 = time.perf_counter()
+    tot = 0.0
+    for _k in range(n_frames):
+        img, r = render_frame(dev, cam, rot,
+                              jnp.uint32(rng.randrange(1, 2 ** 31)), **kw)
+        tot += float(r)
+    dt = (time.perf_counter() - t0) / n_frames
+    mrays = tot / n_frames / dt / 1e6
+    samples_s = w * h * time_spp / dt
+    full_frame_s = dt * (spp / time_spp)
+    return {
+        "metric": f"config{n}: {w}x{h}x{spp}spp "
+                  + ("path" if raytracing else "whitted"),
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "samples_per_s": round(samples_s, 0),
+        "rmse_vs_golden": None if rmse is None else round(rmse, 5),
+        "est_full_frame_s": round(full_frame_s, 3),
+        "vs_baseline": round(mrays / 100.0, 4),
+    }
 
-    sc.add_material("gray")
-    sc.set_last_mtl("Kd", (0.7, 0.68, 0.62))
-    sc.set_last_mtl("Pr", 1.0)
-    sc.add_material("metal")
-    sc.set_last_mtl("Pr", 0.05)
-    sc.set_last_mtl("Pm", 1.0)
-    sc.set_last_mtl("Ks", (0.9, 0.85, 0.7))
-    sc.add_material("glass")
-    sc.set_last_mtl("Tr", 0.9)
-    sc.set_last_mtl("Ni", 1.5)
-    sc.set_last_mtl("illum", 7)
-    sc.set_last_mtl("Tf", (0.12, 0.02, 0.1))
-    sc.set_last_mtl("Density", 0.6)
-    sc.add_material("ground")
-    sc.set_last_mtl("Kd", (0.55, 0.55, 0.55))
-    sc.set_last_mtl("Pr", 1.0)
 
-    obj = "/root/reference/src/objs/table - Copy.obj"
-    if os.path.exists(obj):
-        sc.add_object(obj, material=0, scale=(0.03, 0.03, 0.03),
-                      shift=(0.0, 0.2, 4.0), rot=(0.0, 0.5, 0.0))
-    sc.add_sphere((-1.2, 0.4, 3.2), 0.55, m=1)
-    sc.add_sphere((1.2, 0.4, 3.2), 0.55, m=2)
-    sc.add_sphere((0.0, -100.0, 4.0), 100.0, m=3)
-    return sc.build(max_leaf=4)
+def run_hero(rng, frames):
+    """Config #5: progressive 1080p accumulation loop with checkpointing
+    semantics (Renderer), reporting samples/s and estimated time to the
+    4096-spp target."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pathtracer0_tpu import RenderConfig, Renderer, scenes
+
+    dev, info = scenes.BUILDERS[5]().build(max_leaf=4)
+    cam, rot = scenes.CAMERAS[5]
+    cfg = RenderConfig(width=1920, height=1080, samples_per_frame=8,
+                       max_bounces=6, auto_focus=False, blur=0.001)
+    r = Renderer(dev, info, cfg, cam_pos=np.asarray(cam, np.float32),
+                 cam_rot=np.asarray(rot, np.float32))
+    r.step(frame_seed=rng.randrange(1, 2 ** 31))  # warm up + compile
+    rays0 = r.rays_traced
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        r.step(frame_seed=rng.randrange(1, 2 ** 31))
+    dt = (time.perf_counter() - t0) / frames
+    mrays = (r.rays_traced - rays0) / frames / dt / 1e6
+    samples_s = cfg.width * cfg.height * cfg.samples_per_frame / dt
+    t_target = HERO_SPP_TARGET / cfg.samples_per_frame * dt
+    return {
+        "metric": "config5: progressive 1920x1080 hero, 8spp/frame",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "samples_per_s": round(samples_s, 0),
+        "est_time_to_4096spp_s": round(t_target, 1),
+        "vs_baseline": round(mrays / 100.0, 4),
+    }
 
 
 def main():
     import jax
-    # Persistent compile cache: the packet-traversal kernel is expensive to
-    # compile; warmup must not pollute repeated bench runs.
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -70,51 +159,31 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-    import jax.numpy as jnp
-    from pathtracer0_tpu import RenderConfig
-    from pathtracer0_tpu.render.renderer import render_frame, _frame_params
 
-    dev, info = build_scene()
-    cfg = RenderConfig(width=800, height=600, samples_per_frame=4,
-                       max_bounces=6, auto_focus=False, blur=0.001)
-    kw = dict(
-        info=info, params=_frame_params(cfg), width=cfg.width,
-        height=cfg.height, spp=cfg.samples_per_frame, raytracing=True,
-        auto_focus=False, cam_size=cfg.cam_size,
-        focal_length=cfg.focal_length, blur=cfg.blur,
-        focal_distance=cfg.focal_distance,
-    )
-    cam = jnp.asarray([0.0, 1.2, 0.0], jnp.float32)
-    rot = jnp.asarray([0.25, 0.0, 0.0], jnp.float32)
-
-    # Fresh seeds every invocation: the TPU tunnel caches (program, args)
-    # result pairs, so repeated fixed-seed frames would measure the cache.
-    import random as _random
-    _rng = _random.Random(time.time_ns())
-
-    # warmup / compile
-    img, rays = render_frame(
-        dev, cam, rot, jnp.uint32(_rng.randrange(1, 2**31)), **kw)
-    jax.block_until_ready(img)
-
+    rng = random.Random(time.time_ns())
     n_frames = int(os.environ.get("BENCH_FRAMES", "5"))
-    seeds = [_rng.randrange(1, 2**31) for _ in range(n_frames)]
-    total_rays = 0.0
-    t0 = time.perf_counter()
-    for s in seeds:
-        img, rays = render_frame(dev, cam, rot, jnp.uint32(s), **kw)
-        total_rays += float(rays)
-    jax.block_until_ready(img)
-    dt = time.perf_counter() - t0
+    hero_frames = int(os.environ.get("BENCH_HERO_FRAMES", "2"))
+    only = os.environ.get("BENCH_ONLY")
 
-    mrays = total_rays / dt / 1e6
+    results = {}
+    for n in (1, 2, 3, 4):
+        if only and str(n) != only:
+            continue
+        results[n] = run_config(n, rng, n_frames)
+        print(json.dumps(results[n]), flush=True)
+    if not only or only == "5":
+        results[5] = run_hero(rng, hero_frames)
+        print(json.dumps(results[5]), flush=True)
+
+    # THE driver line (last): headline config-#3 throughput
+    head = results.get(3) or next(iter(results.values()))
     print(json.dumps({
-        "metric": "path-trace throughput, OBJ+BVH scene, 800x600x4spp, "
-                  "6 bounces, single chip",
-        "value": round(mrays, 3),
+        "metric": "path-trace throughput, OBJ+BVH scene (config 3), "
+                  "single chip",
+        "value": head["value"],
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 100.0, 4),
-    }))
+        "vs_baseline": head["vs_baseline"],
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -202,7 +202,8 @@ def _ray_scene_scalar(o, d, scene, info, stack_depth: int):
         rotated = vm.length(rot) > 0.0
         Or = jnp.where(rotated[:, None], vm.rotate(O, rot), O)
         Dr = jnp.where(rotated[:, None], vm.rotate(D, rot), D)
-        ts = imp_mod.ray_implicit(Or, Dr, scene.imp_fn)
+        ts = imp_mod.ray_implicit(Or, Dr, scene.imp_fn,
+                                  fns_present=info.imp_fns)
         ts = ts[: info.num_implicits]
         besti = jnp.argmin(ts)
         best_ti = ts[besti]
@@ -263,7 +264,8 @@ def _merge_analytic_batched(o, d, scene, info, closest, tri_idx, uu, vv,
         else:
             Or, Dr = O, D
         fnb = jnp.broadcast_to(scene.imp_fn[None, :ne], (B, ne))
-        ts = imp_mod.ray_implicit(Or, Dr, fnb)            # (B, I)
+        ts = imp_mod.ray_implicit(Or, Dr, fnb,
+                                  fns_present=info.imp_fns)  # (B, I)
         besti = jnp.argmin(ts, axis=1)
         # min, NOT take_along_axis(argmin): per-ray selects lower to serial
         # gathers on TPU (~4.9 ms per 480k-ray bounce measured)
@@ -724,7 +726,7 @@ def surface_sample(hit: Hit, origins, directions, scene,
             irotated = jnp.zeros(O.shape[:-1] + (1,), bool)
             Or, Dr = O, D
         p_local = Or + hit.t[..., None] * Dr
-        grad = imp_mod.gradient(p_local, ifn)
+        grad = imp_mod.gradient(p_local, ifn, fns_present=info.imp_fns)
         # Reference net normal is +normalize(df): gradient() returns negated
         # partials (frag.glsl:440-445) and rayScene negates again
         # (frag.glsl:597-599). Our gradient() returns raw partials, so no

@@ -355,6 +355,7 @@ def pack_scene(scene, config: RenderConfig,
         has_rotated_implicits=bool(
             np.any(np.abs(np.asarray(scene.imp_rot, np.float32)) > 0)
         ),
+        imp_fns=tuple(sorted(set(int(f) for f in scene.imp_fn))),
         streamed=streamed,
         st_n_treelets=st_n_treelets,
         st_treelet_rows=st_treelet_rows,
@@ -387,6 +388,8 @@ class StaticSceneInfo(NamedTuple):
     # for the per-ray rotation-matrix math in the merge/normal paths)
     has_rotated_ellipsoids: bool = True
     has_rotated_implicits: bool = True
+    # Static set of implicit-function ids present (marcher fast path)
+    imp_fns: tuple = ()
     # HBM-streamed LBVH statics (scene > config.stream_threshold tris):
     # triangles trace through kernels/wavefront.trace_streamed; there is
     # NO reference-parity SAH forest and no vmapped traversal for these.
