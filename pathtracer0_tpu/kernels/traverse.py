@@ -68,7 +68,8 @@ class SurfaceSample(NamedTuple):
 def _traverse_object(o, d, root, closest, scene, stack_depth: int,
                      leaf_cap: int):
     """Scalar single-object rayBVH (frag.glsl:452-537). Returns
-    (closest_t, tri_idx, u, v, steps) with tri_idx = -1 if no closer hit."""
+    (closest_t, tri_idx, u, v, (box_tests, leaf_visits)) with
+    tri_idx = -1 if no closer hit."""
     node_min = scene.node_min
     node_max = scene.node_max
 
@@ -78,11 +79,10 @@ def _traverse_object(o, d, root, closest, scene, stack_depth: int,
     sp = jnp.where(enter > closest, 0, 1).astype(jnp.int32)
 
     def cond(carry):
-        sp, _, _, _, _, _, _ = carry
-        return sp > 0
+        return carry[0] > 0
 
     def body(carry):
-        sp, stack, closest, tri_idx, uu, vv, steps = carry
+        sp, stack, closest, tri_idx, uu, vv, box, leaf = carry
         node = stack[sp - 1]
         sp = sp - 1
         left = scene.node_left[node]
@@ -134,7 +134,11 @@ def _traverse_object(o, d, root, closest, scene, stack_depth: int,
                       stack[jnp.minimum(sp, stack_depth - 1)])
         )
         sp = sp + push_near.astype(jnp.int32)
-        return sp, stack, closest, tri_idx, uu, vv, steps + 1
+        # boxTests += 2 per internal visit; leaf visits counted separately
+        # (frag.glsl:480, 523)
+        box = box + jnp.where(is_leaf, 0, 2)
+        leaf = leaf + is_leaf.astype(jnp.int32)
+        return sp, stack, closest, tri_idx, uu, vv, box, leaf
 
     init = (
         sp,
@@ -144,11 +148,12 @@ def _traverse_object(o, d, root, closest, scene, stack_depth: int,
         jnp.float32(0.0),
         jnp.float32(0.0),
         jnp.int32(0),
+        jnp.int32(0),
     )
-    sp, stack, closest, tri_idx, uu, vv, steps = jax.lax.while_loop(
+    sp, stack, closest, tri_idx, uu, vv, box, leaf = jax.lax.while_loop(
         cond, body, init
     )
-    return closest, tri_idx, uu, vv, steps
+    return closest, tri_idx, uu, vv, (box, leaf)
 
 
 def _ray_scene_scalar(o, d, scene, info, stack_depth: int):
@@ -351,7 +356,7 @@ def _ray_scene_pallas(origins, directions, scene, info, active,
     t_init = jnp.concatenate([t_init, jnp.zeros((pad,), jnp.float32)])
 
     leaf_cap = max(info.max_leaf_size, 1)
-    t, uu, vv, idx = wavefront.trace_forest(
+    t, uu, vv, idx, _, _ = wavefront.trace_forest(
         o3, d3, t_init, scene.wf_roots, scene.wf_nodes_f,
         scene.wf_nodes_i, scene.wf_tris,
         leaf_cap=leaf_cap, block_rows=block_rows, interpret=interpret,
@@ -466,7 +471,7 @@ def _ray_scene_streamed(origins, directions, scene, info, active,
     ).T
     t_init = jnp.concatenate([t_init, jnp.zeros((pad,), jnp.float32)])
 
-    t, uu, vv, idx = wavefront.trace_streamed(
+    t, uu, vv, idx, _, _ = wavefront.trace_streamed(
         o3, d3, t_init, scene.st_top, scene.st_tris, scene.st_sub,
         n_treelets=info.st_n_treelets,
         treelet_rows=info.st_treelet_rows,
@@ -493,6 +498,50 @@ def _ray_scene_streamed(origins, directions, scene, info, active,
     )
     return Hit(t=closest, tri=tri_idx, u=uu, v=vv, obj=obj, kind=kind,
                prim=prim), o
+
+
+def heat_counts(origins, directions, scene, info, pallas: str = "auto",
+                block_rows: int = 128):
+    """Per-ray (box_tests, leaf_visits) through the packet kernels for the
+    debug heatmap (frag.glsl:534). The kernels report per-BLOCK counters
+    (a packet pays every visit in lockstep), expanded per ray here."""
+    from . import wavefront
+
+    interpret = (pallas == "interpret"
+                 or jax.default_backend() == "cpu")
+    o = origins + jnp.float32(1e-4) * directions
+    B = o.shape[0]
+    rb = wavefront.LANES * block_rows
+    while rb > 1024 and rb > B:
+        block_rows //= 2
+        rb = wavefront.LANES * block_rows
+    b_pad = ((B + rb - 1) // rb) * rb
+    pad = b_pad - B
+    o3 = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)]).T
+    d3 = jnp.concatenate(
+        [directions, jnp.ones((pad, 3), directions.dtype)]
+    ).T
+    t_init = jnp.concatenate(
+        [jnp.full((B,), MISS), jnp.zeros((pad,), jnp.float32)]
+    )
+    if info.streamed:
+        _, _, _, _, bt, lf = wavefront.trace_streamed(
+            o3, d3, t_init, scene.st_top, scene.st_tris, scene.st_sub,
+            n_treelets=info.st_n_treelets,
+            treelet_rows=info.st_treelet_rows,
+            leaf_cap=info.st_leaf_cap,
+            block_rows=block_rows, interpret=interpret,
+        )
+    else:
+        _, _, _, _, bt, lf = wavefront.trace_forest(
+            o3, d3, t_init, scene.wf_roots, scene.wf_nodes_f,
+            scene.wf_nodes_i, scene.wf_tris,
+            leaf_cap=max(info.max_leaf_size, 1),
+            block_rows=block_rows, interpret=interpret,
+        )
+    box = jnp.repeat(bt, rb)[:B]
+    leaf = jnp.repeat(lf, rb)[:B]
+    return box, leaf
 
 
 def probe_forest_t(origins, directions, scene, info, parent,
@@ -543,7 +592,7 @@ def probe_forest_t(origins, directions, scene, info, parent,
         t_init = jnp.concatenate(
             [jnp.full((B,), MISS), jnp.zeros((pad,), jnp.float32)]
         )
-        t, _, _, _ = wavefront.trace_forest(
+        t, _, _, _, _, _ = wavefront.trace_forest(
             o3, d3, t_init, scene.wf_roots, scene.wf_nodes_f,
             scene.wf_nodes_i, scene.wf_tris,
             leaf_cap=max(info.max_leaf_size, 1), block_rows=block_rows,

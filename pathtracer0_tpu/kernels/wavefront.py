@@ -70,6 +70,8 @@ def _brute_kernel(
     u_ref,          # out
     v_ref,          # out
     idx_ref,        # out i32
+    bt_ref,         # out (1, 1) i32 SMEM: AABB tests (0: no tree here)
+    lf_ref,         # out (1, 1) i32 SMEM: leaf-row visits (= n_rows)
     *,
     leaf_cap: int,
     n_rows: int,
@@ -95,6 +97,9 @@ def _brute_kernel(
     u_ref[...] = jnp.zeros_like(u_ref)
     v_ref[...] = jnp.zeros_like(v_ref)
     idx_ref[...] = jnp.full_like(idx_ref, -1)
+    gi = pl.program_id(0)
+    bt_ref[gi, 0] = 0
+    lf_ref[gi, 0] = n_rows
 
     def row_body(row, _):
         for j in range(leaf_cap):  # static unroll: lane offsets stay static
@@ -155,6 +160,8 @@ def _streamed_kernel(
     u_ref,          # out
     v_ref,          # out
     idx_ref,        # out i32: global_row * leaf_cap + slot
+    bt_ref,         # out (1, 1) i32 SMEM: AABB tests (top + subtree)
+    lf_ref,         # out (1, 1) i32 SMEM: triangle-row visits
     stack_ref,      # SMEM (STACK_DEPTH,) i32: top-tree stack
     substack_ref,   # SMEM (STACK_DEPTH,) i32: within-treelet stack
     scratch_ref,    # VMEM (2, treelet_rows, 128) f32 DMA landing buffers
@@ -189,6 +196,9 @@ def _streamed_kernel(
     u_ref[...] = jnp.zeros_like(u_ref)
     v_ref[...] = jnp.zeros_like(v_ref)
     idx_ref[...] = jnp.full_like(idx_ref, -1)
+    gi = pl.program_id(0)
+    bt_ref[gi, 0] = 0
+    lf_ref[gi, 0] = 0
 
     stack_ref[0] = 0
 
@@ -309,11 +319,13 @@ def _streamed_kernel(
                 pair = k - (n_pairs - 1)
                 test_row(t_id, slot, 2 * pair)
                 test_row(t_id, slot, 2 * pair + 1)
+                lf_ref[gi, 0] = lf_ref[gi, 0] + 2
                 return ssp
 
             def inner_fn(ssp, k):
                 left = 2 * k + 1
                 right = 2 * k + 2
+                bt_ref[gi, 0] = bt_ref[gi, 0] + 2
                 enter_l = sub_entry_dist(slot, left)
                 enter_r = sub_entry_dist(slot, right)
                 t_cur = t_ref[...]
@@ -338,6 +350,7 @@ def _streamed_kernel(
         sp, pend_id, pend_slot = carry
         left = 2 * node + 1
         right = 2 * node + 2
+        bt_ref[gi, 0] = bt_ref[gi, 0] + 2
         enter_l = entry_dist(left)
         enter_r = entry_dist(right)
         t_cur = t_ref[...]
@@ -431,6 +444,8 @@ def _traverse_kernel(
     u_ref,          # out (RS, 128) f32
     v_ref,          # out (RS, 128) f32
     idx_ref,        # out (RS, 128) i32 = leaf_row * leaf_cap + j
+    bt_ref,         # out (1, 1) i32 SMEM: per-block AABB tests (heatmap)
+    lf_ref,         # out (1, 1) i32 SMEM: per-block leaf visits
     stack_ref,      # SMEM scratch (STACK_DEPTH,) i32
     *,
     leaf_cap: int,
@@ -481,7 +496,8 @@ def _traverse_kernel(
         hit = (t_far >= t_near) & (t_far > 0.0)
         return jnp.where(hit, jnp.maximum(t_near, 0.0), MISS)
 
-    def leaf_fn(sp, node):
+    def leaf_fn(carry, node):
+        sp, box, leaf = carry
         leaf_row = nodes_i_ref[node, 2]
         count = nodes_i_ref[node, 3]
 
@@ -528,16 +544,15 @@ def _traverse_kernel(
                 idx_ref[...] = jnp.where(
                     ok, leaf_row * leaf_cap + j, idx_ref[...]
                 )
-        return sp
+        return sp, box, leaf + 1
 
-    def internal_fn(sp, node):
+    def internal_fn(carry, node):
+        sp, box, leaf = carry
         left = nodes_i_ref[node, 0]
         right = nodes_i_ref[node, 1]
         enter_l = entry_dist(left)
         enter_r = entry_dist(right)
         t_cur = t_ref[...]
-        # ONE fused vector->scalar sync for both children (each jnp.any is
-        # a separate reduction + scalar wait; they dominated the loop)
         # ONE fused vector->scalar sync for both children: pack both want
         # masks into one i32 sum (lane counts fit 16 bits for block_rows
         # <= 256; separate jnp.any reductions each serialized the loop)
@@ -575,18 +590,25 @@ def _traverse_kernel(
         sp1 = sp + push_first.astype(jnp.int32)
         stack_ref[jnp.minimum(sp1, STACK_DEPTH - 1)] = second
         sp2 = sp1 + push_second.astype(jnp.int32)
-        return sp2
+        # boxTests += 2 per internal visit (frag.glsl:523)
+        return sp2, box + 2, leaf
 
-    def cond(sp):
-        return sp > 0
+    def cond(carry):
+        return carry[0] > 0
 
-    def body(sp):
+    def body(carry):
+        sp, box, leaf = carry
         node = stack_ref[sp - 1]
-        sp = sp - 1
         is_leaf = nodes_i_ref[node, 0] == -1
-        return jax.lax.cond(is_leaf, leaf_fn, internal_fn, sp, node)
+        return jax.lax.cond(is_leaf, leaf_fn, internal_fn,
+                            (sp - 1, box, leaf), node)
 
-    jax.lax.while_loop(cond, body, n_roots)
+    _, box, leaf = jax.lax.while_loop(
+        cond, body, (n_roots, jnp.int32(0), jnp.int32(0))
+    )
+    gi = pl.program_id(0)
+    bt_ref[gi, 0] = box
+    lf_ref[gi, 0] = leaf
 
 
 @functools.partial(
@@ -626,7 +648,7 @@ def trace_forest(
 
     n_rows = tris.shape[0]
     if n_rows <= BRUTE_MAX_ROWS:
-        t, u, v, idx = pl.pallas_call(
+        t, u, v, idx, bt, lf = pl.pallas_call(
             functools.partial(
                 _brute_kernel, leaf_cap=leaf_cap, n_rows=n_rows
             ),
@@ -643,17 +665,22 @@ def trace_forest(
                 pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
                 pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
                 pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct(shape, jnp.float32),
                 jax.ShapeDtypeStruct(shape, jnp.float32),
                 jax.ShapeDtypeStruct(shape, jnp.float32),
                 jax.ShapeDtypeStruct(shape, jnp.int32),
+                jax.ShapeDtypeStruct((grid[0], 1), jnp.int32),
+                jax.ShapeDtypeStruct((grid[0], 1), jnp.int32),
             ],
             interpret=interpret,
         )(nodes_f, tris, o_b, d_b, t_b)
         return (
-            t.reshape(r), u.reshape(r), v.reshape(r), idx.reshape(r)
+            t.reshape(r), u.reshape(r), v.reshape(r), idx.reshape(r),
+            bt[:, 0], lf[:, 0]
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -672,12 +699,14 @@ def trace_forest(
             pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0)),
             pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0)),
             pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
         ],
     )
-    t, u, v, idx = pl.pallas_call(
+    t, u, v, idx, bt, lf = pl.pallas_call(
         functools.partial(_traverse_kernel, leaf_cap=leaf_cap),
         grid_spec=grid_spec,
         out_shape=[
@@ -685,11 +714,14 @@ def trace_forest(
             jax.ShapeDtypeStruct(shape, jnp.float32),
             jax.ShapeDtypeStruct(shape, jnp.float32),
             jax.ShapeDtypeStruct(shape, jnp.int32),
+            jax.ShapeDtypeStruct((grid[0], 1), jnp.int32),
+            jax.ShapeDtypeStruct((grid[0], 1), jnp.int32),
         ],
         interpret=interpret,
     )(roots, nodes_f, nodes_i, tris, o_b, d_b, t_b)
     return (
-        t.reshape(r), u.reshape(r), v.reshape(r), idx.reshape(r)
+        t.reshape(r), u.reshape(r), v.reshape(r), idx.reshape(r),
+        bt[:, 0], lf[:, 0]
     )
 
 
@@ -726,7 +758,7 @@ def trace_streamed(
     t_b = t_init.reshape(r // LANES, LANES)
     shape = (r // LANES, LANES)
 
-    t, u, v, idx = pl.pallas_call(
+    t, u, v, idx, bt, lf = pl.pallas_call(
         functools.partial(
             _streamed_kernel, n_treelets=n_treelets,
             treelet_rows=treelet_rows, leaf_cap=leaf_cap,
@@ -745,12 +777,16 @@ def trace_streamed(
             pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
             pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
             pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(shape, jnp.float32),
             jax.ShapeDtypeStruct(shape, jnp.float32),
             jax.ShapeDtypeStruct(shape, jnp.float32),
             jax.ShapeDtypeStruct(shape, jnp.int32),
+            jax.ShapeDtypeStruct((grid[0], 1), jnp.int32),
+            jax.ShapeDtypeStruct((grid[0], 1), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
@@ -762,5 +798,6 @@ def trace_streamed(
         interpret=interpret,
     )(top_f, tris, sub_f, o_b, d_b, t_b)
     return (
-        t.reshape(r), u.reshape(r), v.reshape(r), idx.reshape(r)
+        t.reshape(r), u.reshape(r), v.reshape(r), idx.reshape(r),
+        bt[:, 0], lf[:, 0]
     )

@@ -186,6 +186,18 @@ def render_frame(
     return col.reshape(height, width, 3), rays
 
 
+def _heat_color(box, leaf):
+    """The exact frag.glsl:534 formula: 0.01 red per visited leaf (the
+    0.1 per-leaf term scaled by the final *0.1), blue exp(0.01*(box-200)),
+    and red exp(0.02*(tri-150)) — where the reference NEVER increments
+    triTests, so the red exp term is the constant exp(-3)."""
+    box = box.astype(jnp.float32)
+    leaf = leaf.astype(jnp.float32)
+    red = 0.01 * leaf + jnp.float32(np.exp(0.02 * (0.0 - 150.0)))
+    blue = jnp.exp(0.01 * (box - 200.0))
+    return jnp.stack([red, jnp.zeros_like(red), blue], axis=-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("info", "params", "width", "height",
@@ -193,14 +205,33 @@ def render_frame(
 )
 def render_debug_frame(scene, cam_pos, cam_rot, *, info, params,
                        width, height, cam_size, focal_length):
-    """DEBUG mode: BVH traversal-cost heatmap (frag.glsl:534, 539-547):
-    blue = exp(0.01*(boxTests-200)), red = exp(0.02*(triTests-150)),
-    averaged over top-level objects, plus 0.01 red per visited leaf."""
+    """DEBUG mode: BVH traversal-cost heatmap (frag.glsl:534, 539-547).
+
+    XLA path (CPU / small batches): exact per-object semantics — the heat
+    color is computed per object and averaged, like debugRayScene.
+
+    Packet paths (TPU wf/streamed): the kernels traverse the whole forest
+    in one launch and report PER-BLOCK box/leaf counters (every lane in a
+    packet pays every visit, so the block count IS the per-ray cost);
+    the color is computed from the forest totals divided by the object
+    count — same scale, per-block granularity."""
     uv, _ = camera.pixel_centers(width, height)
     h_ratio = height / float(width)
     d = camera.primary_directions(uv, cam_rot, cam_size, focal_length,
                                   h_ratio)
     o = jnp.broadcast_to(cam_pos, d.shape)
+
+    use_packet = (info.streamed
+                  or (info.wf_ok and jax.default_backend() != "cpu"))
+    if info.num_objects == 0 and not info.streamed:
+        return jnp.zeros((height, width, 3), jnp.float32)
+
+    if use_packet:
+        box, leaf = traverse.heat_counts(o, d, scene, info,
+                                         pallas=params.pallas)
+        n_obj = max(info.num_objects, info.num_tri_objects, 1)
+        img = _heat_color(box, leaf) / jnp.float32(n_obj)
+        return img.reshape(height, width, 3)
 
     leaf_cap = max(info.max_leaf_size, 1)
 
@@ -208,19 +239,13 @@ def render_debug_frame(scene, cam_pos, cam_rot, *, info, params,
         total = jnp.zeros(3, jnp.float32)
         for i in range(info.num_objects):
             root = scene.roots[i]
-            _, _, _, _, steps = traverse._traverse_object(
+            _, _, _, _, (box, lf) = traverse._traverse_object(
                 o1 + 1e-4 * d1, d1, root, traverse.MISS, scene,
                 params.stack_depth, leaf_cap,
             )
-            box_tests = 2.0 * steps.astype(jnp.float32)
-            col = jnp.array([0.0, 0.0, 1.0]) * jnp.exp(
-                0.01 * (box_tests - 200.0)
-            )
-            total = total + col / max(info.num_objects, 1)
+            total = total + _heat_color(box, lf) / max(info.num_objects, 1)
         return total
 
-    if info.num_objects == 0:
-        return jnp.zeros((height, width, 3), jnp.float32)
     img = jax.vmap(probe)(o, d)
     return img.reshape(height, width, 3)
 
@@ -326,6 +351,38 @@ class Renderer:
         return self.screenshot(
             f"autoScreenshot_{self._count}_{stamp}.png"
         )
+
+    def pick(self, px: int, py: int):
+        """Headless mouse inspector (frag.glsl:888-893): probe the scene
+        through pixel (px, py) — (0, 0) is bottom-left, GL convention —
+        and return a dict with the surface normal, material index, hit
+        distance, object id, and primitive kind (0 none, 1 tri, 2
+        implicit, 3 ellipsoid). The reference renders mouse_scene.norm
+        under the cursor; this returns the full probe record."""
+        cfg = self.config
+        u = (px + 0.5) / float(cfg.width)
+        v = (py + 0.5) / float(cfg.height)
+        uv = jnp.asarray([[u, v]], jnp.float32)
+        d = camera.primary_directions(
+            uv, self.cam_rot, cfg.cam_size, cfg.focal_length,
+            cfg.screen_h_ratio,
+        )
+        o = jnp.broadcast_to(self.cam_pos, d.shape)
+        hit, o_n = traverse.ray_scene(
+            o, d, self.scene, self.info,
+            stack_depth=cfg.traversal_stack_depth, pallas=cfg.pallas,
+        )
+        surf = traverse.surface_sample(hit, o_n, d, self.scene,
+                                       info=self.info)
+        return {
+            "normal": np.asarray(surf.norm[0]),
+            "material": int(surf.mat[0]),
+            "distance": float(hit.t[0]),
+            "obj": int(hit.obj[0]),
+            "kind": int(hit.kind[0]),
+            "hit": bool(hit.is_hit[0]),
+            "loc": np.asarray(surf.loc[0]),
+        }
 
     def telemetry(self) -> str:
         """The stdin `telemetry` command (dispatch.java:785-792)."""
