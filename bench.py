@@ -149,6 +149,66 @@ def run_hero(rng, frames):
     }
 
 
+def run_scale(rng):
+    """1M-triangle procedural terrain through the HBM-streamed LBVH
+    (accel/lbvh.py): reports build time and frame throughput — the scale
+    regime the reference attempted (dispatch.java:1798, 4M tris)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pathtracer0_tpu import Scene, RenderConfig
+    from pathtracer0_tpu.render.renderer import render_frame
+
+    n = 708  # (n-1)^2 * 2 ~= 1.0M triangles
+    xs = np.linspace(-50, 50, n)
+    X, Z = np.meshgrid(xs, xs)
+    Y = (np.sin(X * 0.35) * np.cos(Z * 0.28) * 1.8
+         + np.sin(X * 0.09 + 1.3) * 4.0
+         + np.random.RandomState(0).rand(n, n) * 0.15)
+    P = np.stack([X, Y, Z], axis=-1)
+    a = P[:-1, :-1].reshape(-1, 3)
+    b = P[1:, :-1].reshape(-1, 3)
+    c = P[:-1, 1:].reshape(-1, 3)
+    d4 = P[1:, 1:].reshape(-1, 3)
+    sc = Scene()
+    sc.set_constant_sky((0.5, 0.6, 0.9))
+    sc.add_material("terrain")
+    sc.set_last_mtl("Kd", (0.45, 0.52, 0.38))
+    sc.set_last_mtl("Pr", 1.0)
+    sc.add_mesh(np.concatenate([a, d4]), np.concatenate([b, b]),
+                np.concatenate([c, c]), 0)
+    t0 = time.perf_counter()
+    dev, info = sc.build(RenderConfig())
+    build_s = time.perf_counter() - t0
+    n_tris = dev.num_tris
+
+    cfg = RenderConfig(width=800, height=600, samples_per_frame=2,
+                       max_bounces=3, auto_focus=False, blur=0.0)
+    kw = _frame_kwargs(cfg, info)
+    cam = jnp.asarray([0.0, 14.0, -58.0], jnp.float32)
+    rot = jnp.asarray([0.25, 0.0, 0.0], jnp.float32)
+    img, r = render_frame(dev, cam, rot,
+                          jnp.uint32(rng.randrange(1, 2 ** 31)), **kw)
+    _ = float(r)
+    t0 = time.perf_counter()
+    tot = 0.0
+    frames = int(os.environ.get("BENCH_SCALE_FRAMES", "2"))
+    for _k in range(frames):
+        img, r = render_frame(dev, cam, rot,
+                              jnp.uint32(rng.randrange(1, 2 ** 31)), **kw)
+        tot += float(r)
+    dt = (time.perf_counter() - t0) / frames
+    mrays = tot / frames / dt / 1e6
+    return {
+        "metric": f"scale: {n_tris} tris (HBM-streamed LBVH), "
+                  "800x600x2spp path",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "build_s": round(build_s, 1),
+        "frame_s": round(dt, 2),
+        "vs_baseline": round(mrays / 100.0, 4),
+    }
+
+
 def main():
     import jax
     cache_dir = os.environ.get(
@@ -174,6 +234,9 @@ def main():
     if not only or only == "5":
         results[5] = run_hero(rng, hero_frames)
         print(json.dumps(results[5]), flush=True)
+    if (not only or only == "scale") and os.environ.get(
+            "BENCH_SCALE", "1") != "0":
+        print(json.dumps(run_scale(rng)), flush=True)
 
     # THE driver line (last): headline config-#3 throughput
     head = results.get(3) or next(iter(results.values()))

@@ -148,3 +148,131 @@ def render_frame_sample_split(
                     jnp.asarray(cam_rot, jnp.float32),
                     jnp.uint32(frame_seed))
     return col.reshape(height, width, 3), rays
+
+
+class DistributedRenderer:
+    """Multi-chip progressive accumulation (the Renderer's frame loop with
+    the pixel axis sharded over the mesh).
+
+    The accumulation SUM lives sharded on the mesh — folding a frame in is
+    a device-local add with zero collectives; pixels only gather when the
+    display image or a checkpoint is read. Checkpoints store the gathered
+    host copy and re-shard on load, so a resume can move to a different
+    mesh shape.
+    """
+
+    def __init__(self, scene, info, config, mesh: Mesh,
+                 cam_pos=None, cam_rot=None, seed: int = 0):
+        from ..render.renderer import _frame_params
+
+        self.info = info
+        self.config = config
+        self.mesh = mesh
+        self.params = _frame_params(config)
+        self.cam_pos = jnp.asarray(
+            cam_pos if cam_pos is not None else np.zeros(3), jnp.float32)
+        self.cam_rot = jnp.asarray(
+            cam_rot if cam_rot is not None else np.zeros(3), jnp.float32)
+        self.seed = seed
+        self._rng = np.random.RandomState(seed)
+
+        n_dev = mesh.devices.size
+        uv_host, index_host = camera.pixel_centers(config.width,
+                                                   config.height)
+        self._n = uv_host.shape[0]
+        n_pad = _pad_to(self._n, n_dev)
+        uv = jnp.pad(uv_host, ((0, n_pad - self._n), (0, 0)))
+        index = jnp.pad(index_host, (0, n_pad - self._n))
+        self._ray_sharding = NamedSharding(mesh, P("rays", None))
+        self._uv = jax.device_put(uv, self._ray_sharding)
+        self._index = jax.device_put(
+            index, NamedSharding(mesh, P("rays")))
+        self.scene = replicate_scene(scene, mesh)
+        self._sum = jax.device_put(
+            jnp.zeros((n_pad, 3), jnp.float32), self._ray_sharding)
+        self._count = 0
+        self._frame_index = 0
+        self.rays_traced = 0.0
+
+        cfg, info_, params = config, info, self.params
+
+        def run(scene, uv, index, acc, cam_pos, cam_rot, frame_seed):
+            ifd = autofocus_distance(
+                scene, cam_pos, cam_rot, cfg.focal_distance,
+                info=info_, params=params, auto_focus=cfg.auto_focus,
+            )
+
+            def tile(scene, uv, index, acc, cam_pos, cam_rot, frame_seed,
+                     ifd):
+                col, rays = render_rays(
+                    scene, uv, index, cam_pos, cam_rot, frame_seed, ifd,
+                    info=info_, params=params,
+                    spp=cfg.samples_per_frame, raytracing=cfg.raytracing,
+                    cam_size=cfg.cam_size, focal_length=cfg.focal_length,
+                    screen_h_ratio=cfg.height / float(cfg.width),
+                    blur=cfg.blur,
+                )
+                return acc + col, rays[None]
+
+            return shard_map(
+                tile, mesh=mesh,
+                in_specs=(P(), P("rays", None), P("rays"),
+                          P("rays", None), P(), P(), P(), P()),
+                out_specs=(P("rays", None), P("rays")),
+                check_rep=False,
+            )(scene, uv, index, acc, cam_pos, cam_rot, frame_seed, ifd)
+
+        self._run = jax.jit(run)
+
+    # -- state -------------------------------------------------------------
+    def reset_accumulation(self):
+        self._sum = jax.device_put(
+            jnp.zeros_like(self._sum), self._ray_sharding)
+        self._count = 0
+
+    def move_camera(self, pos=None, rot=None):
+        if pos is not None:
+            self.cam_pos = jnp.asarray(pos, jnp.float32)
+        if rot is not None:
+            self.cam_rot = jnp.asarray(rot, jnp.float32)
+        self.reset_accumulation()
+
+    # -- rendering -----------------------------------------------------------
+    def step(self, frame_seed=None):
+        if frame_seed is None:
+            frame_seed = int(self._rng.randint(0, 10000))
+        self._sum, rays = self._run(
+            self.scene, self._uv, self._index, self._sum,
+            self.cam_pos, self.cam_rot, jnp.uint32(frame_seed))
+        self.rays_traced += float(jnp.sum(rays))
+        self._count += 1
+        self._frame_index += 1
+        return self.display_image()
+
+    def display_image(self):
+        cfg = self.config
+        img = self._sum[: self._n] / jnp.float32(max(self._count, 1))
+        return img.reshape(cfg.height, cfg.width, 3)
+
+    # -- checkpoint/resume -----------------------------------------------------
+    def save_checkpoint(self, path: str):
+        np.savez(
+            path,
+            sum=np.asarray(self._sum),
+            count=self._count,
+            frame_index=self._frame_index,
+            cam_pos=np.asarray(self.cam_pos),
+            cam_rot=np.asarray(self.cam_rot),
+        )
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path, allow_pickle=False)
+        self._sum = jax.device_put(
+            jnp.asarray(data["sum"]), self._ray_sharding)
+        self._count = int(data["count"])
+        self._frame_index = int(data["frame_index"])
+        self.cam_pos = jnp.asarray(data["cam_pos"])
+        self.cam_rot = jnp.asarray(data["cam_rot"])
+        self._rng = np.random.RandomState(self.seed)
+        for _ in range(self._frame_index):
+            self._rng.randint(0, 10000)

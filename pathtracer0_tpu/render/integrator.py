@@ -51,6 +51,9 @@ class TraceParams(NamedTuple):
     # any-hit gating already tolerates incoherence for VMEM-resident
     # forests. Revisit for HBM-streamed scenes where a visit is a DMA.
     sort_rays: bool = False
+    # rays per on-device chunk (render/renderer.render_rays splits larger
+    # frames with lax.map to bound live memory); 0 = never chunk
+    ray_batch_size: int = 1 << 20
     # fold the spp loop into the ray axis (render/renderer.render_rays):
     # one megabatch of spp*N rays instead of spp sequential passes.
     # Measured SLOWER on v5e at 800x600x4spp (244 vs 180 ms/frame — the

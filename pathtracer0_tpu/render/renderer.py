@@ -39,6 +39,7 @@ def _frame_params(config: RenderConfig):
         stack_depth=config.traversal_stack_depth,
         refraction_stack=config.refraction_stack_depth,
         pallas=config.pallas,
+        ray_batch_size=config.ray_batch_size,
     )
 
 
@@ -65,14 +66,48 @@ def render_rays(
     shards over a device mesh (dist/mesh.py) — pixels are independent, the
     scene is replicated, so no collectives are needed until image assembly.
 
+    Batches beyond params.ray_batch_size are split into chunks scanned
+    sequentially on-device (lax.map) so a frame's live-state footprint
+    (~30 arrays x chunk) stays inside a fixed memory envelope regardless
+    of resolution x spp; per-pixel RNG streams are chunk-invariant, so
+    results are identical to the unchunked path.
+
     When params.fold_spp is set the spp samples are folded into the ray
-    axis (one batch of spp*N rays) instead of looping sequentially —
-    bigger megabatches amortize every per-stage fixed cost and pipeline
-    better. Sample k seeds its RNG as if it were pixel index + k*N of a
-    taller image (PARITY.md: the reference carries ONE stream per pixel
-    through all its samples; folding gives each sample an independent
-    stream — a different but equally unbiased estimator; set
+    axis (one batch of spp*N rays) instead of looping sequentially.
+    Sample k seeds its RNG as if it were pixel index + k*stride of a
+    taller image (PARITY.md #13: the reference carries ONE stream per
+    pixel through all its samples; folding gives each sample an
+    independent stream — a different but equally unbiased estimator; set
     fold_spp=False for draw-for-draw stream parity)."""
+    n = uv.shape[0]
+    cb = params.ray_batch_size
+    if cb and n > cb:
+        n_chunks = -(-n // cb)
+        # minimal padding: even chunks, rounded to the 128-lane packet
+        cb_eff = -(-(-(-n // n_chunks)) // 128) * 128
+        n_pad = n_chunks * cb_eff
+        uv_p = jnp.concatenate(
+            [uv, jnp.broadcast_to(uv[-1:], (n_pad - n, 2))])
+        idx_p = jnp.concatenate(
+            [index, jnp.broadcast_to(index[-1:], (n_pad - n,))])
+
+        def chunk_fn(args):
+            uv_c, idx_c = args
+            return render_rays(
+                scene, uv_c, idx_c, cam_pos, cam_rot, frame_seed, ifd,
+                info=info, params=params._replace(ray_batch_size=0),
+                spp=spp, raytracing=raytracing, cam_size=cam_size,
+                focal_length=focal_length, screen_h_ratio=screen_h_ratio,
+                blur=blur,
+            )
+
+        cols, rays = jax.lax.map(
+            chunk_fn,
+            (uv_p.reshape(n_chunks, cb_eff, 2),
+             idx_p.reshape(n_chunks, cb_eff)),
+        )
+        return cols.reshape(n_pad, 3)[:n], jnp.sum(rays)
+
     direction = camera.primary_directions(
         uv, cam_rot, cam_size, focal_length, screen_h_ratio
     )

@@ -79,3 +79,57 @@ class TestTiled:
             dev, jnp.zeros(3), jnp.zeros(3), 1, m, **kw
         )
         assert np.isfinite(np.asarray(img)).all()
+
+
+class TestDistributedRenderer:
+    """Multi-chip progressive driver (VERDICT r1 item 10): sharded
+    accumulation + checkpoint roundtrip on the virtual mesh."""
+
+    def _make(self, simple_scene, tmp_path=None):
+        from pathtracer0_tpu import RenderConfig
+        from pathtracer0_tpu.dist.mesh import DistributedRenderer, make_mesh
+
+        dev, info = simple_scene.build()
+        cfg = RenderConfig(width=40, height=24, samples_per_frame=1,
+                           max_bounces=2, auto_focus=False, blur=0.0)
+        return DistributedRenderer(dev, info, cfg, make_mesh(8))
+
+    def test_matches_single_chip_renderer(self, simple_scene):
+        from pathtracer0_tpu import RenderConfig, Renderer
+
+        dr = self._make(simple_scene)
+        dev, info = simple_scene.build()
+        cfg = dr.config
+        r = Renderer(dev, info, cfg)
+        for seed in (3, 4):
+            dr.step(frame_seed=seed)
+            r.step(frame_seed=seed)
+        a = np.asarray(dr.display_image())
+        b = np.asarray(r.display_image())
+        assert (a == b).mean() > 0.995   # knife-edge fp-fusion tolerance
+
+    def test_checkpoint_roundtrip(self, simple_scene, tmp_path):
+        dr = self._make(simple_scene)
+        dr.step(frame_seed=5)
+        dr.step(frame_seed=6)
+        path = str(tmp_path / "ckpt.npz")
+        dr.save_checkpoint(path)
+        img_before = np.asarray(dr.display_image())
+
+        dr2 = self._make(simple_scene)
+        dr2.load_checkpoint(path)
+        np.testing.assert_array_equal(
+            np.asarray(dr2.display_image()), img_before)
+        # resumed accumulation continues identically
+        dr.step(frame_seed=7)
+        dr2.step(frame_seed=7)
+        a, b = np.asarray(dr.display_image()), np.asarray(dr2.display_image())
+        np.testing.assert_array_equal(a, b)
+
+    def test_camera_move_resets(self, simple_scene):
+        dr = self._make(simple_scene)
+        dr.step(frame_seed=1)
+        dr.move_camera(pos=(0.0, 0.2, 0.0))
+        assert dr._count == 0
+        dr.step(frame_seed=2)
+        assert dr._count == 1
