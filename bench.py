@@ -226,6 +226,12 @@ def main():
     only = os.environ.get("BENCH_ONLY")
 
     results = {}
+    # the 1M-tri scale config runs FIRST: its scene build (~20 s incl. the
+    # LBVH and the ~0.6 GB table upload) must not contend with pending
+    # async work from the other configs
+    if (not only or only == "scale") and os.environ.get(
+            "BENCH_SCALE", "1") != "0":
+        print(json.dumps(run_scale(rng)), flush=True)
     for n in (1, 2, 3, 4):
         if only and str(n) != only:
             continue
@@ -234,11 +240,10 @@ def main():
     if not only or only == "5":
         results[5] = run_hero(rng, hero_frames)
         print(json.dumps(results[5]), flush=True)
-    if (not only or only == "scale") and os.environ.get(
-            "BENCH_SCALE", "1") != "0":
-        print(json.dumps(run_scale(rng)), flush=True)
 
     # THE driver line (last): headline config-#3 throughput
+    if not results:
+        return
     head = results.get(3) or next(iter(results.values()))
     print(json.dumps({
         "metric": "path-trace throughput, OBJ+BVH scene (config 3), "

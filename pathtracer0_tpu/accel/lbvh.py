@@ -34,6 +34,11 @@ import numpy as np
 
 TRIS_PER_ROW = 14      # 14 * 9 floats = 126 of 128 lanes
 TREELET_ROWS = 64      # rows per HBM treelet: 64 * 128 * 4 B = 32 KB DMA
+SUB_GROUP_ROWS = 4     # triangle rows per subtree leaf: each internal
+                       # subtree node costs one serializing vector->scalar
+                       # sync in the kernel, so leaves cover GROUPS of rows
+                       # (4 rows = 15 internal nodes/treelet instead of 31;
+                       # the extra row tests are cheap VPU work)
 
 
 class StreamedForest(NamedTuple):
@@ -42,15 +47,17 @@ class StreamedForest(NamedTuple):
     ctree_f: np.ndarray      # (M, 8) f32 complete-tree AABBs (top part only
                              #   is kept VMEM-resident; M = 2*n_treelets - 1)
     tri_rows: np.ndarray     # (R_pad, 128) f32 leaf-packed triangles
-    sub_f: np.ndarray        # (n_treelets * TREELET_ROWS, 128) f32: per-
+    sub_f: np.ndarray        # (n_treelets * sub_stride, 128) f32: per-
                              #   treelet complete SUBTREE AABBs, one node
                              #   per 128-lane row (min xyz at lanes 0-2,
                              #   max xyz at 3-5; Mosaic DMA slices must be
                              #   128-aligned in the minor dim). The subtree
-                             #   has TREELET_ROWS/2 leaves, each covering a
-                             #   PAIR of triangle rows: heap node
-                             #   k >= TREELET_ROWS/2 - 1 maps to rows
-                             #   2*(k - (TREELET_ROWS/2 - 1)) and +1.
+                             #   has TREELET_ROWS/SUB_GROUP_ROWS leaves,
+                             #   each covering a GROUP of SUB_GROUP_ROWS
+                             #   triangle rows: heap node k >= n_groups-1
+                             #   maps to rows [g*SUB_GROUP_ROWS,
+                             #   (g+1)*SUB_GROUP_ROWS), g = k-(n_groups-1).
+                             #   sub_stride = 2*n_groups rows (padded).
     row_perm: np.ndarray     # (R_pad * TRIS_PER_ROW,) i32 slot -> original
                              #   triangle id (-1 for padding)
     n_rows: int              # real (unpadded) leaf-row count
@@ -149,19 +156,19 @@ def build_streamed(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
     ctree_f[:, 3:6] = ctree_max[:cut_nodes]
 
     # Per-treelet subtree AABBs (HBM, DMA'd with the rows): a complete
-    # subtree over PAIRS of triangle rows, rebuilt bottom-up from the row
+    # subtree over GROUPS of triangle rows, rebuilt bottom-up from the row
     # AABBs (vectorized across all treelets at once). One heap node per
-    # 128-lane row for DMA alignment; leaves are row pairs.
-    n_pairs = treelet_rows // 2
-    sub_nodes = 2 * n_pairs - 1
-    sub_min = np.full((n_treelets, treelet_rows, 3), INF, np.float32)
-    sub_max = np.full((n_treelets, treelet_rows, 3), -INF, np.float32)
-    pm = row_min.reshape(n_treelets, n_pairs, 2, 3).min(axis=2)
-    px = row_max.reshape(n_treelets, n_pairs, 2, 3).max(axis=2)
-    sub_min[:, n_pairs - 1: 2 * n_pairs - 1] = pm
-    sub_max[:, n_pairs - 1: 2 * n_pairs - 1] = px
-    lo = n_pairs - 1
-    size = n_pairs
+    # 128-lane row for DMA alignment.
+    n_groups = treelet_rows // SUB_GROUP_ROWS
+    sub_stride = 2 * n_groups
+    sub_min = np.full((n_treelets, sub_stride, 3), INF, np.float32)
+    sub_max = np.full((n_treelets, sub_stride, 3), -INF, np.float32)
+    pm = row_min.reshape(n_treelets, n_groups, SUB_GROUP_ROWS, 3).min(axis=2)
+    px = row_max.reshape(n_treelets, n_groups, SUB_GROUP_ROWS, 3).max(axis=2)
+    sub_min[:, n_groups - 1: 2 * n_groups - 1] = pm
+    sub_max[:, n_groups - 1: 2 * n_groups - 1] = px
+    lo = n_groups - 1
+    size = n_groups
     while size > 1:
         cmin = sub_min[:, lo:lo + size].reshape(n_treelets, size // 2, 2, 3)
         cmax = sub_max[:, lo:lo + size].reshape(n_treelets, size // 2, 2, 3)
@@ -170,7 +177,7 @@ def build_streamed(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
         sub_max[:, plo:plo + size // 2] = cmax.max(axis=2)
         lo = plo
         size //= 2
-    sub_f = np.zeros((n_treelets * treelet_rows, 128), np.float32)
+    sub_f = np.zeros((n_treelets * sub_stride, 128), np.float32)
     sub_f[:, 0:3] = sub_min.reshape(-1, 3)
     sub_f[:, 3:6] = sub_max.reshape(-1, 3)
 

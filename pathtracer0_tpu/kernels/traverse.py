@@ -397,32 +397,40 @@ def _ray_scene_pallas(origins, directions, scene, info, active,
                prim=prim), o
 
 
-def _spatial_sort_key(o, d, scene_lo, scene_hi, bits: int = 8):
-    """Ray-coherence sort key: Morton code of the quantized ORIGIN (packet
-    gating needs spatial locality, not just matching direction signs)
-    interleaved above the direction octant. ~18 bits total."""
+def _morton_spread(v):  # standard 10-bit Morton spread masks
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def _spatial_sort_key(o, d, scene_lo, scene_hi, o_bits: int = 6,
+                      d_bits: int = 4):
+    """Ray-coherence sort key: Morton code of the quantized ORIGIN in the
+    high bits, Morton code of the (normalized) DIRECTION in the low bits.
+
+    The direction bits matter even for primary rays: camera rays share one
+    origin, so an origin-only key degenerates to image order — full-width
+    scanline slabs whose packet frustum crosses the whole scene. Direction
+    Morton clusters them into compact square-ish tiles instead (measured
+    ~2x fewer leaf-row visits per block on the 1M-tri terrain)."""
     span = jnp.maximum(scene_hi - scene_lo, 1e-6)
-    q = jnp.clip(
-        ((o - scene_lo) / span * (2 ** bits - 1)).astype(jnp.int32),
-        0, 2 ** bits - 1,
+    qo = jnp.clip(
+        ((o - scene_lo) / span * (2 ** o_bits - 1)).astype(jnp.int32),
+        0, 2 ** o_bits - 1,
     )
-
-    def spread(v):  # standard 10-bit Morton spread masks (superset of 6)
-        v = (v | (v << 16)) & 0x030000FF
-        v = (v | (v << 8)) & 0x0300F00F
-        v = (v | (v << 4)) & 0x030C30C3
-        v = (v | (v << 2)) & 0x09249249
-        return v
-
-    morton = (
-        (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    dn = d / jnp.maximum(
+        jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True)), 1e-20)
+    qd = jnp.clip(
+        ((dn * 0.5 + 0.5) * (2 ** d_bits - 1)).astype(jnp.int32),
+        0, 2 ** d_bits - 1,
     )
-    octant = (
-        (d[:, 0] < 0).astype(jnp.int32) * 4
-        + (d[:, 1] < 0).astype(jnp.int32) * 2
-        + (d[:, 2] < 0).astype(jnp.int32)
-    )
-    return (morton << 3) | octant
+    m_o = ((_morton_spread(qo[:, 0]) << 2)
+           | (_morton_spread(qo[:, 1]) << 1) | _morton_spread(qo[:, 2]))
+    m_d = ((_morton_spread(qd[:, 0]) << 2)
+           | (_morton_spread(qd[:, 1]) << 1) | _morton_spread(qd[:, 2]))
+    return (m_o << (3 * d_bits)) | m_d
 
 
 def _ray_scene_streamed(origins, directions, scene, info, active,

@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+SUB_GROUP_ROWS = 4  # rows per subtree leaf — must match accel/lbvh.py
 MISS = np.float32(1e30)
 EPSILON = np.float32(1e-10)
 STACK_DEPTH = 160
@@ -224,6 +225,9 @@ def _streamed_kernel(
         hit = (t_far >= t_near) & (t_far > 0.0)
         return jnp.where(hit, jnp.maximum(t_near, 0.0), MISS)
 
+    n_groups = treelet_rows // SUB_GROUP_ROWS
+    sub_stride = 2 * n_groups
+
     def start_dmas(t_id, slot):
         row0 = t_id * treelet_rows
         rows = pltpu.make_async_copy(
@@ -232,7 +236,7 @@ def _streamed_kernel(
             sem_ref.at[slot, 0],
         )
         sub = pltpu.make_async_copy(
-            sub_hbm_ref.at[pl.ds(row0, treelet_rows), :],
+            sub_hbm_ref.at[pl.ds(t_id * sub_stride, sub_stride), :],
             sub_scratch_ref.at[slot],
             sem_ref.at[slot, 1],
         )
@@ -300,11 +304,11 @@ def _streamed_kernel(
                 ok, (row0 + row) * leaf_cap + j, idx_ref[...]
             )
 
-    n_pairs = treelet_rows // 2
-
     def test_treelet(t_id, slot):
-        """Walk one DMA'd treelet's complete subtree (leaves = row pairs);
-        only pairs whose AABB beats some ray's closest-t pay row tests."""
+        """Walk one DMA'd treelet's complete subtree (leaves = groups of
+        SUB_GROUP_ROWS rows — each internal node costs one serializing
+        vector->scalar sync, so leaves are coarse); only groups whose AABB
+        beats some ray's closest-t pay row tests."""
         substack_ref[0] = 0  # local heap root
 
         def scond(ssp):
@@ -313,13 +317,13 @@ def _streamed_kernel(
         def sbody(ssp):
             k = substack_ref[ssp - 1]
             ssp = ssp - 1
-            is_row = k >= (n_pairs - 1)
+            is_row = k >= (n_groups - 1)
 
             def row_fn(ssp, k):
-                pair = k - (n_pairs - 1)
-                test_row(t_id, slot, 2 * pair)
-                test_row(t_id, slot, 2 * pair + 1)
-                lf_ref[gi, 0] = lf_ref[gi, 0] + 2
+                g = k - (n_groups - 1)
+                for dr in range(SUB_GROUP_ROWS):
+                    test_row(t_id, slot, SUB_GROUP_ROWS * g + dr)
+                lf_ref[gi, 0] = lf_ref[gi, 0] + SUB_GROUP_ROWS
                 return ssp
 
             def inner_fn(ssp, k):
@@ -792,7 +796,8 @@ def trace_streamed(
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
             pltpu.VMEM((2, treelet_rows, LANES), jnp.float32),
-            pltpu.VMEM((2, treelet_rows, LANES), jnp.float32),
+            pltpu.VMEM((2, 2 * (treelet_rows // SUB_GROUP_ROWS), LANES),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
