@@ -78,11 +78,36 @@ class Scene:
         return [m.name for m in self.materials]
 
     # -- geometry -----------------------------------------------------------
+    # OBJ files above this size route to the native C++ tokenizer
+    # (scene/native_obj.py): the line-by-line Python parser is the one
+    # host path that cannot be vectorized, ~50x slower.
+    NATIVE_OBJ_THRESHOLD = 4 << 20  # bytes
+
+    def _parse_obj(self, path: str, material, scale, shift, rot,
+                   parent_dir: str):
+        from . import native_obj
+
+        force = os.environ.get("PT0_NATIVE_OBJ")
+        use_native = (
+            force == "1"
+            or (force != "0"
+                and os.path.getsize(path) > self.NATIVE_OBJ_THRESHOLD)
+        )
+        if use_native and native_obj.available():
+            native_obj.parse_obj_bulk(
+                path, self, material, scale, shift, rot,
+                self._material_names, parent_dir,
+            )
+        else:
+            parse_obj(path, self.tris, material, scale, shift, rot,
+                      self._material_names, parent_dir)
+
     def add_object(self, filepath: str, material: int = 0,
                    scale=(1.0, 1.0, 1.0), shift=(0.0, 0.0, 0.0),
                    rot=(0.0, 0.0, 0.0)):
         """Directory mode parses all .mtl then all .obj inside; single-file
-        mode parses one .obj (dispatch.java:867-886)."""
+        mode parses one .obj (dispatch.java:867-886). Large files route to
+        the native tokenizer (see _parse_obj)."""
         if os.path.isdir(filepath):
             entries = sorted(os.listdir(filepath))
             mtls = [e for e in entries if e.lower().endswith(".mtl")]
@@ -94,11 +119,10 @@ class Scene:
                 parse_mtl(os.path.join(filepath, m), filepath,
                           self.materials, self.textures)
             for o in objs:
-                parse_obj(os.path.join(filepath, o), self.tris, material,
-                          scale, shift, rot, self._material_names, filepath)
+                self._parse_obj(os.path.join(filepath, o), material,
+                                scale, shift, rot, filepath)
         elif os.path.isfile(filepath) and filepath.lower().endswith(".obj"):
-            parse_obj(filepath, self.tris, material, scale, shift, rot,
-                      self._material_names, "")
+            self._parse_obj(filepath, material, scale, shift, rot, "")
         else:
             raise FileNotFoundError(filepath)
 
