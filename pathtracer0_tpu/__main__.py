@@ -63,8 +63,7 @@ def main(argv=None):
 
     drv = FrameLoopDriver(dev, info, cfg, cam_pos=cam, cam_rot=rot,
                           auto_screenshot_after=args.auto_screenshot,
-                          screenshot_dir=args.out,
-                          log=lambda *a: print(*a, flush=True))
+                          screenshot_dir=args.out)
     t0 = time.perf_counter()
     drv.run(max_frames=args.frames)
     n_frames = drv.renderer._count + drv.preview_renderer._count
