@@ -42,6 +42,9 @@ class RenderConfig:
     # Modes (dispatch.java:52-53; frag.glsl:897-917)
     raytracing: bool = True         # True = path trace, False = Whitted directDiffuse
     debug: bool = False             # True = BVH traversal-cost heatmap
+    # Opt-in legacy Phong + emissive-disk area lights (the reference's
+    # dead raytrace.glsl subsystem) in Whitted mode
+    legacy_shading: bool = False
 
     gamma: float = 0.0              # NEGATIVE_GAMMA (unused by the active shader)
 

@@ -51,6 +51,10 @@ class TraceParams(NamedTuple):
     # any-hit gating already tolerates incoherence for VMEM-resident
     # forests. Revisit for HBM-streamed scenes where a visit is a DMA.
     sort_rays: bool = False
+    # OPT-IN legacy Phong + emissive-disk area lights (the reference's
+    # dead compute-shader subsystem, shade/arealights.py); applies in
+    # Whitted mode (raytracing=False) when the scene has disk lights
+    legacy_shading: bool = False
     # rays per on-device chunk (render/renderer.render_rays splits larger
     # frames with lax.map to bound live memory); 0 = never chunk
     ray_batch_size: int = 1 << 20

@@ -40,6 +40,7 @@ def _frame_params(config: RenderConfig):
         refraction_stack=config.refraction_stack_depth,
         pallas=config.pallas,
         ray_batch_size=config.ray_batch_size,
+        legacy_shading=config.legacy_shading,
     )
 
 
@@ -141,6 +142,20 @@ def render_rays(
         return col.reshape(spp, n, 3).mean(axis=0), rays
 
     state = vrng.seed(index, frame_seed)
+
+    if (not raytracing) and params.legacy_shading and info.lights:
+        # Legacy Phong + disk lights: SAMPLE_RES is the shadow grid
+        # resolution (raytrace.glsl:712), not a per-pixel sample count —
+        # one evaluation per frame, like the legacy compute dispatch.
+        from ..shade import arealights
+
+        o_j, d_j, state = camera.dof_ray(
+            origin, direction, cam_rot, jnp.float32(blur), ifd_b, state
+        )
+        col, state = arealights.shade_point(
+            o_j, d_j, state, scene, info, params, sample_res=spp
+        )
+        return col, jnp.float32(n)
 
     def sample_body(_, carry):
         col_sum, state, rays = carry

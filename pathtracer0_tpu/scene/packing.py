@@ -361,6 +361,16 @@ def pack_scene(scene, config: RenderConfig,
         st_treelet_rows=st_treelet_rows,
         st_leaf_cap=st_leaf_cap,
         num_tri_objects=len(object_ranges),
+        lights=tuple(
+            (k, s0, e0, m) for (k, s0, e0, m, _, _) in
+            getattr(scene, "disk_lights", [])
+        ),
+        light_centers=tuple(
+            c for (_, _, _, _, c, _) in getattr(scene, "disk_lights", [])
+        ),
+        light_radii=tuple(
+            r for (_, _, _, _, _, r) in getattr(scene, "disk_lights", [])
+        ),
     )
     # Device-resident pytree: one host->device transfer at build time, like
     # the reference's one-time SSBO uploads.
@@ -398,3 +408,8 @@ class StaticSceneInfo(NamedTuple):
     st_treelet_rows: int = 0
     st_leaf_cap: int = 0
     num_tri_objects: int = 0
+    # Legacy emissive-disk lights (shade/arealights.py): static tuples of
+    # (kind, id_start, id_end, material), centers, radii
+    lights: tuple = ()
+    light_centers: tuple = ()
+    light_radii: tuple = ()

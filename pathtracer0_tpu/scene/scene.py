@@ -46,6 +46,9 @@ class Scene:
         # Bulk meshes (add_mesh): list of dicts of (T, ...) arrays, packed
         # as one object each after all parsed/loose triangles.
         self.bulk_meshes: List[dict] = []
+        # Legacy emissive-disk area lights (raytrace.glsl EmissiveData):
+        # (kind, id_start, id_end, material, center, radius)
+        self.disk_lights: List[tuple] = []
 
     # -- sky ---------------------------------------------------------------
     def set_sky(self, image: Union[str, np.ndarray], name: str = "sky"):
@@ -192,6 +195,24 @@ class Scene:
         """Convenience: unit-stretch ellipsoid."""
         self.add_ellipsoid(center, (1.0, 1.0, 1.0), (0.0, 0.0, 0.0),
                            radius, m)
+
+    def add_disk_light(self, center, radius: float, m: int,
+                       kind: int = 3, id_start: int = 0, id_end: int = 0):
+        """Legacy emissive-disk area light (raytrace.glsl EmissiveData,
+        used by the opt-in RenderConfig.legacy_shading mode): a disk at
+        `center` with `radius`, emitting material m's Ke, bound to the
+        geometry collection (kind: 1 tri / 3 ellipsoid, primitive id
+        range) that shadow rays must reach."""
+        self.disk_lights.append((int(kind), int(id_start), int(id_end),
+                                 int(m), tuple(float(c) for c in center),
+                                 float(radius)))
+
+    def add_emissive_sphere(self, center, radius: float, m: int):
+        """Convenience: an emissive sphere + its matching disk light."""
+        idx = len(self.ell_rad)
+        self.add_sphere(center, radius, m)
+        self.add_disk_light(center, radius, m, kind=3, id_start=idx,
+                            id_end=idx)
 
     def add_implicit(self, fn: int, shift, scale, rot, m: int):
         self.imp_fn.append(int(fn))
