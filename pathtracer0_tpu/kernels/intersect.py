@@ -52,13 +52,26 @@ def ray_tri(o, d, v1, v2, v3):
     return t, u, v
 
 
+def safe_inv_dir(d):
+    """Finite reciprocal direction for slab tests. A zero (or subnormal)
+    component makes 1/d infinite, and a box plane exactly on the ray then
+    yields 0 * inf = NaN — the classic unguarded-slab-test bug (the
+    reference's rayBox has the same UB, frag.glsl:408-419; a straight-down
+    ray over a grid whose node boundary crosses the origin MISSES).
+    Clamping the reciprocal to +-1e30 keeps every product finite
+    (0 * 1e30 = 0, so on-plane rays count as touching)."""
+    return jnp.clip(
+        1.0 / jnp.where(d == 0.0, jnp.float32(1e-30), d), -1e30, 1e30
+    )
+
+
 def ray_box(o, d, box_min, box_max):
     """Slab test; returns entry distance (0 if origin inside), 1e30 on miss.
 
-    Matches frag.glsl:408-419 including the division-by-zero semantics for
-    axis-parallel rays (IEEE inf/NaN propagate identically).
+    frag.glsl:408-419 semantics with the axis-parallel-ray NaN fixed
+    (see safe_inv_dir; PARITY.md).
     """
-    inv_d = 1.0 / d
+    inv_d = safe_inv_dir(d)
     t_min = (box_min - o) * inv_d
     t_max = (box_max - o) * inv_d
     t1 = jnp.minimum(t_min, t_max)

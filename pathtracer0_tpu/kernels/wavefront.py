@@ -189,9 +189,17 @@ def _streamed_kernel(
     """
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
-    inv_dx = 1.0 / dx
-    inv_dy = 1.0 / dy
-    inv_dz = 1.0 / dz
+    # finite reciprocals: a zero direction component + a node plane on the
+    # ray makes 0 * inf = NaN and drops the subtree (see
+    # intersect.safe_inv_dir)
+    def _inv(d):
+        return jnp.clip(
+            1.0 / jnp.where(d == 0.0, jnp.float32(1e-30), d), -1e30, 1e30
+        )
+
+    inv_dx = _inv(dx)
+    inv_dy = _inv(dy)
+    inv_dz = _inv(dz)
 
     t_ref[...] = tin_ref[...]
     u_ref[...] = jnp.zeros_like(u_ref)
@@ -456,9 +464,17 @@ def _traverse_kernel(
 ):
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
-    inv_dx = 1.0 / dx
-    inv_dy = 1.0 / dy
-    inv_dz = 1.0 / dz
+    # finite reciprocals: a zero direction component + a node plane on the
+    # ray makes 0 * inf = NaN and drops the subtree (see
+    # intersect.safe_inv_dir)
+    def _inv(d):
+        return jnp.clip(
+            1.0 / jnp.where(d == 0.0, jnp.float32(1e-30), d), -1e30, 1e30
+        )
+
+    inv_dx = _inv(dx)
+    inv_dy = _inv(dy)
+    inv_dz = _inv(dz)
 
     t_ref[...] = tin_ref[...]
     u_ref[...] = jnp.zeros_like(u_ref)

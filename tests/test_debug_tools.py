@@ -89,3 +89,34 @@ def test_heatmap_streamed(tmp_path):
         cam_size=cfg.cam_size, focal_length=cfg.focal_length)
     img = np.asarray(img)
     assert np.isfinite(img).all() and img[..., 2].max() > 0
+
+
+def test_pick_streamed_scene():
+    """pick() works through the HBM-streamed path too (watertight mesh so
+    no pick ray can slip through a lattice gap)."""
+    n = 12
+    xs = np.linspace(0.0, 6.0, n)
+    X, Z = np.meshgrid(xs, xs)
+    Y = np.sin(X) * np.cos(Z) * 0.4
+    P = np.stack([X, Y, Z], axis=-1)
+    a = P[:-1, :-1].reshape(-1, 3)
+    b = P[1:, :-1].reshape(-1, 3)
+    c = P[:-1, 1:].reshape(-1, 3)
+    d4 = P[1:, 1:].reshape(-1, 3)
+    sc = Scene()
+    sc.set_constant_sky((0.2, 0.3, 0.8))
+    sc.add_material("m")
+    sc.add_mesh(np.concatenate([a, d4]), np.concatenate([b, b]),
+                np.concatenate([c, c]), 0)
+    cfg = RenderConfig(width=32, height=32, auto_focus=False,
+                       stream_threshold=10)
+    dev, info = sc.build(cfg)
+    assert info.streamed
+    # straight down over the grid center: rx = pi/2 -> direction (0,-1,0)
+    r = Renderer(dev, info, cfg, cam_pos=(3.0, 8.0, 3.0),
+                 cam_rot=(np.pi / 2, 0.0, 0.0))
+    hits = [r.pick(x, y) for x in (14, 16, 18) for y in (14, 16, 18)]
+    good = [p for p in hits if p["hit"]]
+    assert len(good) == 9 and all(p["kind"] == 1 for p in good)
+    assert all(np.isfinite(p["normal"]).all() for p in good)
+    assert all(4.0 < p["distance"] < 12.0 for p in good)

@@ -1,5 +1,6 @@
 """Intersection kernel + BVH builder/traversal tests."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pathtracer0_tpu.kernels import intersect, traverse
@@ -239,3 +240,42 @@ class TestBVH:
         bt, _ = _brute_force(np.asarray(o_n), d, tris)
         np.testing.assert_allclose(np.asarray(hit.t), bt, rtol=1e-4,
                                    atol=1e-5)
+
+
+class TestAxisParallelSlab:
+    def test_on_plane_axis_ray_hits(self):
+        """A straight-down ray whose x lies exactly on a box plane must
+        still enter the box (0 * inf = NaN dropped it before the
+        safe_inv_dir fix — PARITY.md #14)."""
+        import jax.numpy as jnp
+        from pathtracer0_tpu.kernels import intersect
+
+        o = jnp.asarray([2.8, 8.0, 2.8])
+        d = jnp.asarray([0.0, -1.0, 0.0])
+        bmin = jnp.asarray([2.8, 0.0, 2.0])   # x-plane exactly at o.x
+        bmax = jnp.asarray([3.5, 1.0, 3.5])
+        t = intersect.ray_box(o, d, bmin, bmax)
+        assert float(t) == pytest.approx(7.0, abs=1e-4)
+
+    def test_full_traversal_on_boundary(self, table_scene):
+        """End-to-end: axis-aligned rays across the scene AABB never NaN
+        and match the brute-force reference on every kernel path."""
+        import numpy as np
+        import jax.numpy as jnp
+        from pathtracer0_tpu.kernels import traverse
+
+        dev, info = table_scene.build(max_leaf=4)
+        lo = np.asarray(dev.node_min).min(axis=0)
+        hi = np.asarray(dev.node_max).max(axis=0)
+        xs = np.linspace(lo[0], hi[0], 16)
+        zs = np.linspace(lo[2], hi[2], 16)
+        X, Z = np.meshgrid(xs, zs)
+        o = jnp.asarray(np.c_[X.ravel(), np.full(256, hi[1] + 1.0),
+                              Z.ravel()], jnp.float32)
+        d = jnp.asarray(np.tile([0.0, -1.0, 0.0], (256, 1)), jnp.float32)
+        h_v, _ = traverse.ray_scene(o, d, dev, info, pallas="off")
+        h_p, _ = traverse.ray_scene(o, d, dev, info, pallas="interpret")
+        tv = np.asarray(h_v.t)
+        tp = np.asarray(h_p.t)
+        assert np.isfinite(tv[tv < 1e29]).all()
+        assert np.isclose(tv, tp, rtol=1e-5, atol=1e-5).all()
