@@ -66,7 +66,9 @@ def main(argv=None):
                           screenshot_dir=args.out)
     t0 = time.perf_counter()
     drv.run(max_frames=args.frames)
-    n_frames = drv.renderer._count + drv.preview_renderer._count
+    # monotonic frame indices, not _count (which resets on every move /
+    # preview transition and would understate interactive work — ADVICE r2)
+    n_frames = drv.renderer._frame_index + drv.preview_renderer._frame_index
     dt = time.perf_counter() - t0
     print(f"{n_frames} frames in {dt:.1f}s "
           f"({drv.renderer.rays_traced / max(dt, 1e-9) / 1e6:.1f} Mrays/s)",

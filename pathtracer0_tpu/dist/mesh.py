@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core import camera
 from ..render.renderer import render_rays, autofocus_distance
@@ -91,7 +91,7 @@ def render_frame_tiled(
             mesh=mesh,
             in_specs=(P(), P("rays", None), P("rays"), P(), P(), P(), P()),
             out_specs=(P("rays", None), P("rays")),
-            check_rep=False,
+            check_vma=False,
         )(scene, uv, index, cam_pos, cam_rot, frame_seed, ifd)
         return col, jnp.sum(rays)
 
@@ -140,7 +140,7 @@ def render_frame_sample_split(
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), P()),
             out_specs=(P("rays", None, None), P("rays")),
-            check_rep=False,
+            check_vma=False,
         )(scene, cam_pos, cam_rot, frame_seed, ifd)
         return col[0], rays[0]
 
@@ -175,6 +175,11 @@ class DistributedRenderer:
             cam_rot if cam_rot is not None else np.zeros(3), jnp.float32)
         self.seed = seed
         self._rng = np.random.RandomState(seed)
+        # number of frame seeds actually drawn from self._rng — NOT the same
+        # as _frame_index when callers pass explicit frame_seed values
+        # (ADVICE r2: fast-forwarding by _frame_index broke bit-identical
+        # resume in mixed explicit/implicit-seed usage)
+        self._seed_draws = 0
 
         n_dev = mesh.devices.size
         uv_host, index_host = camera.pixel_centers(config.width,
@@ -219,7 +224,7 @@ class DistributedRenderer:
                 in_specs=(P(), P("rays", None), P("rays"),
                           P("rays", None), P(), P(), P(), P()),
                 out_specs=(P("rays", None), P("rays")),
-                check_rep=False,
+                check_vma=False,
             )(scene, uv, index, acc, cam_pos, cam_rot, frame_seed, ifd)
 
         self._run = jax.jit(run)
@@ -241,6 +246,7 @@ class DistributedRenderer:
     def step(self, frame_seed=None):
         if frame_seed is None:
             frame_seed = int(self._rng.randint(0, 10000))
+            self._seed_draws += 1
         self._sum, rays = self._run(
             self.scene, self._uv, self._index, self._sum,
             self.cam_pos, self.cam_rot, jnp.uint32(frame_seed))
@@ -261,6 +267,7 @@ class DistributedRenderer:
             sum=np.asarray(self._sum),
             count=self._count,
             frame_index=self._frame_index,
+            seed_draws=self._seed_draws,
             cam_pos=np.asarray(self.cam_pos),
             cam_rot=np.asarray(self.cam_rot),
         )
@@ -274,5 +281,9 @@ class DistributedRenderer:
         self.cam_pos = jnp.asarray(data["cam_pos"])
         self.cam_rot = jnp.asarray(data["cam_rot"])
         self._rng = np.random.RandomState(self.seed)
-        for _ in range(self._frame_index):
+        # fast-forward by the number of draws actually consumed (older
+        # checkpoints without the counter fall back to frame_index)
+        self._seed_draws = int(data["seed_draws"]) if "seed_draws" in data \
+            else self._frame_index
+        for _ in range(self._seed_draws):
             self._rng.randint(0, 10000)

@@ -647,7 +647,12 @@ def ray_scene(origins, directions, scene, info, stack_depth: int = 64,
         # serial batched gathers on TPU).
         o = origins + jnp.float32(1e-4) * directions  # frag.glsl:549
         B = o.shape[0]
-        closest = jnp.full((B,), MISS)
+        # dead lanes keep the t_init=0 contract of the packet/streamed
+        # paths (ADVICE r2: they used to return real hit t here)
+        if active is None:
+            closest = jnp.full((B,), MISS)
+        else:
+            closest = jnp.where(active, MISS, 0.0)
         tri_idx = jnp.full((B,), -1, jnp.int32)
         uu = vv = jnp.zeros((B,), jnp.float32)
         obj = jnp.full((B,), -1, jnp.int32)

@@ -151,9 +151,10 @@ def _brute_kernel(
 def _streamed_kernel(
     top_ref,        # (M_top, 8) f32 VMEM: complete-tree AABBs (heap order)
     tris_hbm_ref,   # (R_pad, 128) f32 in HBM/ANY: leaf-packed triangles
-    sub_hbm_ref,    # (n_treelets * treelet_rows, 128) f32 HBM: per-treelet
-                    #   subtree AABBs, one node/row (heap order; leaves are
-                    #   row PAIRS — accel/lbvh.py)
+    sub_hbm_ref,    # (n_treelets * sub_stride, 128) f32 HBM: per-treelet
+                    #   subtree AABBs, one node/row in heap order, where
+                    #   sub_stride = 2 * (treelet_rows // SUB_GROUP_ROWS)
+                    #   (accel/lbvh.py)
     o_ref,          # (3, RS, 128) f32
     d_ref,          # (3, RS, 128) f32
     tin_ref,        # (RS, 128) f32
@@ -756,7 +757,8 @@ def trace_streamed(
     t_init,    # (R,) f32 (0 disables a lane)
     top_f,     # (2*n_treelets - 1, 8) f32 heap-order top-tree AABBs
     tris,      # (n_treelets * treelet_rows, 128) f32 leaf-packed rows (HBM)
-    sub_f,     # (n_treelets * treelet_rows, 128) f32 subtree AABBs (HBM)
+    sub_f,     # (n_treelets * 2*(treelet_rows//SUB_GROUP_ROWS), 128) f32
+               #   subtree AABBs (HBM; accel/lbvh.py sub_stride layout)
     *,
     n_treelets: int,
     treelet_rows: int,

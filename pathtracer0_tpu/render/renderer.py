@@ -326,6 +326,10 @@ class Renderer:
         self._frame_index = 0
         self.rays_traced = 0.0  # samples/s + Mrays/s accounting
         self._rng = np.random.RandomState(self.seed)
+        # frame seeds actually drawn from self._rng (≠ _frame_index when
+        # callers pass explicit seeds) — the bit-identical-resume contract
+        # needs the true draw count (ADVICE r2)
+        self._seed_draws = 0
 
     # -- state ----------------------------------------------------------
     def reset_accumulation(self):
@@ -349,6 +353,7 @@ class Renderer:
         if frame_seed is None:
             # u_seed = random int each frame (dispatch.java:698)
             frame_seed = int(self._rng.randint(0, 10000))
+            self._seed_draws += 1
         if cfg.debug:
             frame = render_debug_frame(
                 self.scene, self.cam_pos, self.cam_rot,
@@ -453,10 +458,11 @@ class Renderer:
             sum=np.asarray(self._sum),
             count=self._count,
             frame_index=self._frame_index,
+            seed_draws=self._seed_draws,
             cam_pos=np.asarray(self.cam_pos),
             cam_rot=np.asarray(self.cam_rot),
         )
-        # The RNG stream position is recovered from frame_index + seed.
+        # The RNG stream position is recovered from seed_draws + seed.
 
     def load_checkpoint(self, path: str):
         data = np.load(path, allow_pickle=False)
@@ -466,6 +472,9 @@ class Renderer:
         self.cam_pos = jnp.asarray(data["cam_pos"])
         self.cam_rot = jnp.asarray(data["cam_rot"])
         self._rng = np.random.RandomState(self.seed)
-        # Fast-forward the per-frame seed stream deterministically.
-        for _ in range(self._frame_index):
+        # Fast-forward by the draws actually consumed (older checkpoints
+        # without the counter fall back to frame_index).
+        self._seed_draws = int(data["seed_draws"]) if "seed_draws" in data \
+            else self._frame_index
+        for _ in range(self._seed_draws):
             self._rng.randint(0, 10000)

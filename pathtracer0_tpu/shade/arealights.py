@@ -120,8 +120,12 @@ def shade_point(origins, directions, state, scene, info, params,
                    * jnp.clip(vm.dot(n, l_dir), 0.0, 1.0)[:, None])
         v_dir = vm.normalize(-directions)
         r_dir = vm.normalize(2.0 * vm.dot(l_dir, n)[:, None] * n - l_dir)
+        # Clamp the pow base: GLSL pow(x<0, fractional) is undefined and the
+        # reference GPU effectively drops it; jnp would produce NaN for
+        # fractional Ns (e.g. 96.078431) and NaN-poison the pixel (ADVICE r2)
         spec = jnp.maximum(
-            m.Ks * lm.Ks * (vm.dot(r_dir, v_dir) ** m.Ns)[:, None]
+            m.Ks * lm.Ks
+            * (jnp.clip(vm.dot(r_dir, v_dir), 0.0, 1.0) ** m.Ns)[:, None]
             * i_d * intensity[:, None],
             0.0,
         )
