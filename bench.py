@@ -91,15 +91,25 @@ def run_config(n, rng, n_frames):
                        max_bounces=bounces, raytracing=raytracing,
                        auto_focus=False, blur=0.001)
     kw = _frame_kwargs(cfg, info)
-    img, r = render_frame(dev, cam, rot,
-                          jnp.uint32(rng.randrange(1, 2 ** 31)), **kw)
-    _ = float(r)
+    # n_frames accumulation frames in ONE dispatch (render_frames_accum):
+    # the TPU tunnel costs ~24 ms per dispatch even pipelined (PERF.md), so
+    # per-frame dispatch would measure the tunnel, not the chip. Fresh
+    # seeds per run (the tunnel caches (program, args) -> result).
+    from pathtracer0_tpu.render.renderer import render_frames_accum
+
+    def seeds():
+        import numpy as np
+        return jnp.asarray(
+            [rng.randrange(1, 2 ** 31) for _ in range(n_frames)],
+            jnp.uint32)
+
+    sum0 = jnp.zeros((h, w, 3), jnp.float32)
+    rays0 = jnp.zeros((), jnp.float32)
+    _, r = render_frames_accum(dev, cam, rot, seeds(), sum0, rays0, **kw)
+    _ = float(r)  # compile + warm
     t0 = time.perf_counter()
-    tot = 0.0
-    for _k in range(n_frames):
-        img, r = render_frame(dev, cam, rot,
-                              jnp.uint32(rng.randrange(1, 2 ** 31)), **kw)
-        tot += float(r)
+    img, r = render_frames_accum(dev, cam, rot, seeds(), sum0, rays0, **kw)
+    tot = float(r)
     dt = (time.perf_counter() - t0) / n_frames
     mrays = tot / n_frames / dt / 1e6
     samples_s = w * h * time_spp / dt
@@ -130,13 +140,13 @@ def run_hero(rng, frames):
                        max_bounces=6, auto_focus=False, blur=0.001)
     r = Renderer(dev, info, cfg, cam_pos=np.asarray(cam, np.float32),
                  cam_rot=np.asarray(rot, np.float32))
-    r.step(frame_seed=rng.randrange(1, 2 ** 31))  # warm up + compile
-    rays0 = r.rays_traced
+    r.render(frames=frames, chunk=frames)  # warm up + compile
+    rays0 = r.rays_traced  # host-syncs: pipeline empty at t0
     t0 = time.perf_counter()
-    for _ in range(frames):
-        r.step(frame_seed=rng.randrange(1, 2 ** 31))
+    r.render(frames=frames, chunk=frames)  # ONE dispatch for all frames
+    rays1 = r.rays_traced  # single sync drains the dispatch
     dt = (time.perf_counter() - t0) / frames
-    mrays = (r.rays_traced - rays0) / frames / dt / 1e6
+    mrays = (rays1 - rays0) / frames / dt / 1e6
     samples_s = cfg.width * cfg.height * cfg.samples_per_frame / dt
     t_target = HERO_SPP_TARGET / cfg.samples_per_frame * dt
     return {
@@ -190,12 +200,13 @@ def run_scale(rng):
                           jnp.uint32(rng.randrange(1, 2 ** 31)), **kw)
     _ = float(r)
     t0 = time.perf_counter()
-    tot = 0.0
+    tot = jnp.zeros((), jnp.float32)
     frames = int(os.environ.get("BENCH_SCALE_FRAMES", "2"))
     for _k in range(frames):
         img, r = render_frame(dev, cam, rot,
                               jnp.uint32(rng.randrange(1, 2 ** 31)), **kw)
-        tot += float(r)
+        tot = tot + r
+    tot = float(tot)
     dt = (time.perf_counter() - t0) / frames
     mrays = tot / frames / dt / 1e6
     return {

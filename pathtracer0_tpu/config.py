@@ -55,6 +55,7 @@ class RenderConfig:
 
     # TPU-specific execution knobs (no reference equivalent)
     pallas: str = "auto"            # packet-traversal kernel mode
+    fused: str = "auto"             # fused bounce-loop megakernel mode
     ray_batch_size: int = 1 << 20   # rays per on-device chunk (0 = off)
     traversal_stack_depth: int = 64  # frag.glsl:465 `int stack[64]`
     refraction_stack_depth: int = 10  # frag.glsl:136 MAX_REFRACTIONSTACK

@@ -197,7 +197,9 @@ class DistributedRenderer:
             jnp.zeros((n_pad, 3), jnp.float32), self._ray_sharding)
         self._count = 0
         self._frame_index = 0
-        self.rays_traced = 0.0
+        # device-accumulated ray counter (fetching per step would host-sync
+        # every frame; see render/renderer.Renderer)
+        self._rays_dev = jnp.zeros((), jnp.float32)
 
         cfg, info_, params = config, info, self.params
 
@@ -229,6 +231,11 @@ class DistributedRenderer:
 
         self._run = jax.jit(run)
 
+    @property
+    def rays_traced(self) -> float:
+        """Total live scene queries (host-syncs; for reporting only)."""
+        return float(self._rays_dev)
+
     # -- state -------------------------------------------------------------
     def reset_accumulation(self):
         self._sum = jax.device_put(
@@ -250,7 +257,7 @@ class DistributedRenderer:
         self._sum, rays = self._run(
             self.scene, self._uv, self._index, self._sum,
             self.cam_pos, self.cam_rot, jnp.uint32(frame_seed))
-        self.rays_traced += float(jnp.sum(rays))
+        self._rays_dev = self._rays_dev + jnp.sum(rays)
         self._count += 1
         self._frame_index += 1
         return self.display_image()

@@ -1,0 +1,854 @@
+"""Fused path-trace megakernel: the whole bounce loop in ONE Pallas launch.
+
+Round-2 profiling (PERF.md) showed the per-bounce pipeline spending ~65 ms
+of a 130 ms frame in ~1,700 small XLA elementwise fusions (lobe sampling,
+refraction-stack shifts, transport wheres) plus ~15 ms of layout glue, while
+the Pallas traversal kernel idled at ~505 Mrays/s raw. The fix is
+architectural: run the ENTIRE `trace` loop (frag.glsl:810-882) inside the
+traversal kernel, so all per-bounce state lives in registers/VMEM and HBM
+sees only primary rays in and radiance out.
+
+Per grid step (one ray block, RS x 128 lanes):
+  while bounce < MAX_BOUNCES and any ray in the block is alive:
+    1. traversal: brute leaf-row loop (kernels/wavefront._brute_kernel
+       shape) that commits t AND the interpolated shading normal + material
+       id at hit time -- the attribute row (10 floats/tri: n1,n2,n3,mat) is
+       scalar-loaded next to the geometry row, so no post-hoc gather is
+       needed. Flat triangles store the face normal in all three slots, so
+       interpolation reproduces it exactly (w+u+v = 1).
+    2. analytic primitives: ellipsoid quadrics and implicit-marcher merges
+       with per-primitive scalar parameters (rotation matrices precomputed
+       host-side); implicit fn ids are STATIC per slot, so each scene
+       compiles only its own surfaces (frag.glsl:578-631 semantics).
+    3. material decode: select-chain over the (M, 48) record table --
+       the TPU-native replacement for newMtl's per-ray fetch
+       (frag.glsl:170-209); M is small and static.
+    4. shade/sample: normal flip, refraction-index stack push/pop
+       (frag.glsl:832-841), Schlick Fresnel + branchless chooseRay
+       (frag.glsl:726-809) with the counted PCG RNG advanced in-kernel
+       (bit-exact vs core/rng.py: the uint32->f32 conversion is done as an
+       exact hi/lo 16-bit split because Mosaic lacks the direct cast),
+       Beer-Lambert absorption and throughput/emission bookkeeping
+       (frag.glsl:847-874).
+  Sky on miss is DEFERRED: the kernel returns each ray's final direction
+  and its throughput at miss time; the caller evaluates the equirect sky
+  texture once per sample outside (textures are the one thing a TPU kernel
+  cannot gather).
+
+Termination is per BLOCK: the TPU grid runs blocks sequentially, so a block
+whose rays all died skips its remaining bounces entirely -- this replaces
+explicit alive-ray compaction (SURVEY.md §7) with zero data movement.
+
+The per-sample loop stays outside (render/renderer.render_rays): per-pixel
+RNG streams carry through the kernel boundary, so draw sequences stay
+bit-identical to the reference's per-pixel stream (frag.glsl:896).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..shade.implicits import _BUILDERS
+
+LANES = 128
+MISS = np.float32(1e30)
+EPSILON = np.float32(1e-10)
+AIR_IOR = np.float32(1.0029)  # frag.glsl:816
+_INV32 = np.float32(1.0) / np.float32(4294967295.0)  # frag.glsl:693
+# attribute row layout: 10 floats per tri slot (n1 xyz, n2 xyz, n3 xyz, mat)
+ATTR_STRIDE = 10
+
+_MASK = 0xFFFFFFFF
+_MUL = 747796405
+_INC = 2891336453
+_MIX = np.uint32(277803737)
+
+
+def _affine_consts(n: int):
+    """(A, C) with state_n = A*state + C mod 2^32 (core/rng.advance)."""
+    a, c = 1, 0
+    mul, inc = _MUL, _INC
+    k = n
+    while k:
+        if k & 1:
+            a, c = (a * mul) & _MASK, (c * mul + inc) & _MASK
+        inc = ((mul + 1) * inc) & _MASK
+        mul = (mul * mul) & _MASK
+        k >>= 1
+    return np.uint32(a), np.uint32(c)
+
+
+def _advance(state, n: int):
+    a, c = _affine_consts(n)
+    return state * a + c
+
+
+def _extract(state):
+    """PCG output permutation (core/rng._extract, frag.glsl:686-691)."""
+    shift = (state >> jnp.uint32(28)) + jnp.uint32(4)
+    result = ((state >> shift) ^ state) * _MIX
+    return (result >> jnp.uint32(22)) ^ result
+
+
+def _u32_to_f32(bits):
+    """Bit-exact uint32 -> float32 (Mosaic lacks the cast). Split into two
+    exact 16-bit halves; hi*65536 is exact (16-bit mantissa scaled by a
+    power of two), so the single rounding happens in the final add --
+    identical to the IEEE round-to-nearest convert XLA emits."""
+    hi = pltpu.bitcast(bits >> jnp.uint32(16), jnp.int32).astype(jnp.float32)
+    lo = pltpu.bitcast(bits & jnp.uint32(0xFFFF), jnp.int32).astype(
+        jnp.float32)
+    return hi * jnp.float32(65536.0) + lo
+
+
+def _peek_u(state, off: int):
+    """Uniform `off` draws ahead without consuming (core/rng.peek_uniform)."""
+    return _u32_to_f32(_extract(_advance(state, off))) * _INV32
+
+
+def _normal_from(u1, u2):
+    """Box-Muller (frag.glsl:696-701)."""
+    theta = jnp.float32(2.0 * 3.1415926) * u1
+    rho = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u2))
+    return rho * jnp.cos(theta)
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _fused_kernel(
+    mats_ref,       # (M, 48) f32 material records (scene/material.COL)
+    ell_ref,        # (E, 17) f32: c(3), stretch(3), rad, mat, rotmat(9)
+    imp_ref,        # (I, 17) f32: shift(3), scale(3), pad, mat, rotmat(9)
+    tris_ref,       # (L, 128) f32 leaf-packed v1/e1/e2 rows (wavefront fmt)
+    attr_ref,       # (L, 128) f32 attr rows: slot j at [10j, 10j+10)
+    o_ref,          # (3, RS, 128) f32 primary origins
+    d_ref,          # (3, RS, 128) f32 primary directions (normalized)
+    alive_ref,      # (RS, 128) f32: 1 live, 0 padding
+    state_ref,      # (RS, 128) uint32 per-pixel RNG state
+    inc_ref,        # out (3, RS, 128) f32 accumulated radiance (no sky)
+    mc_ref,         # out (3, RS, 128) f32 throughput at miss (0 if none)
+    dout_ref,       # out (3, RS, 128) f32 final direction (for sky)
+    sout_ref,       # out (RS, 128) uint32 advanced RNG state
+    rays_ref,       # out (G, 1) f32 SMEM: live scene queries this block
+    *,
+    max_bounces: int,
+    leaf_cap: int,
+    n_rows: int,
+    n_mats: int,
+    n_ell: int,
+    n_imp: int,
+    ell_rotated: tuple,
+    imp_rotated: tuple,
+    imp_fn_ids: tuple,
+    stack_size: int,
+    march_steps: int,
+    bisect_iters: int,
+    march_tmax: float,
+):
+    shape = alive_ref.shape
+    f0 = jnp.zeros(shape, jnp.float32)
+    S = stack_size
+
+    ox0, oy0, oz0 = o_ref[0], o_ref[1], o_ref[2]
+    dx0, dy0, dz0 = d_ref[0], d_ref[1], d_ref[2]
+    alive0 = (alive_ref[...] > 0.0).astype(jnp.int32)
+    state0 = state_ref[...]
+
+    # material field decode: select-chain over the static material count
+    # (newMtl, frag.glsl:170-209). mat is an i32 (RS,128) index; miss lanes
+    # hold 0, matching the XLA decode's clamp (shade/mtl.decode).
+    def field(mat, col: int):
+        v = jnp.full(shape, mats_ref[0, col])
+        for m in range(1, n_mats):
+            v = jnp.where(mat == jnp.float32(m), mats_ref[m, col], v)
+        return v
+
+    def cond(c):
+        return (c[0] < max_bounces) & (c[1] > 0)
+
+    def body(c):
+        (bounce, live, rays,
+         ox, oy, oz, dx, dy, dz,
+         cr, cg, cb, ir, ig, ib,
+         stack, ssize, inobj, ex, ey, ez,
+         state, alive, missed, mr, mg, mb) = c
+
+        rays = rays + live.astype(jnp.float32)
+
+        # nudged origin (frag.glsl:549)
+        onx = ox + jnp.float32(1e-4) * dx
+        ony = oy + jnp.float32(1e-4) * dy
+        onz = oz + jnp.float32(1e-4) * dz
+
+        # ---- closest hit: t + committed shading normal + material -------
+        t = jnp.where(alive > 0, MISS, 0.0)
+        nx = f0
+        ny = f0
+        nz = f0
+        # material id carried as f32 (Mosaic lacks f32<->i32 vector/scalar
+        # truncation on this target); select-chains compare against f32
+        mat = f0
+
+        if n_rows > 0:
+            # row-loop carries: closest t, raw barycentric-interp normal,
+            # the n1 slot (flat normal), and the packed 2*mat+smooth code —
+            # the interp-vs-flat select and normalization happen ONCE after
+            # the loop, op-for-op like traverse.surface_sample.
+            f1x = f0
+            f1y = f0
+            f1z = f0
+
+            def row_body(row, carry):
+                t, nx, ny, nz, f1x, f1y, f1z, mat = carry
+                for j in range(leaf_cap):
+                    base = 9 * j
+                    v1x = tris_ref[row, base + 0]
+                    v1y = tris_ref[row, base + 1]
+                    v1z = tris_ref[row, base + 2]
+                    e1x = tris_ref[row, base + 3]
+                    e1y = tris_ref[row, base + 4]
+                    e1z = tris_ref[row, base + 5]
+                    e2x = tris_ref[row, base + 6]
+                    e2y = tris_ref[row, base + 7]
+                    e2z = tris_ref[row, base + 8]
+                    # Moller-Trumbore at VPU width (frag.glsl:351-372),
+                    # op-for-op the wavefront kernel's loop
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv_det = 1.0 / det
+                    sx = onx - v1x
+                    sy = ony - v1y
+                    sz = onz - v1z
+                    u = (sx * px + sy * py + sz * pz) * inv_det
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = (dx * qx + dy * qy + dz * qz) * inv_det
+                    tc = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = (
+                        (jnp.abs(det) >= EPSILON)
+                        & (u >= 0.0)
+                        & (u <= 1.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (tc > EPSILON)
+                        & (tc < t)
+                    )
+                    # attribute capture AT COMMIT (frag.glsl:499-507)
+                    ab = ATTR_STRIDE * j
+                    n1x = attr_ref[row, ab + 0]
+                    n1y = attr_ref[row, ab + 1]
+                    n1z = attr_ref[row, ab + 2]
+                    n2x = attr_ref[row, ab + 3]
+                    n2y = attr_ref[row, ab + 4]
+                    n2z = attr_ref[row, ab + 5]
+                    n3x = attr_ref[row, ab + 6]
+                    n3y = attr_ref[row, ab + 7]
+                    n3z = attr_ref[row, ab + 8]
+                    mjf = attr_ref[row, ab + 9]
+                    w = 1.0 - u - v
+                    nxc = n1x * w + n2x * u + n3x * v
+                    nyc = n1y * w + n2y * u + n3y * v
+                    nzc = n1z * w + n2z * u + n3z * v
+                    t = jnp.where(ok, tc, t)
+                    nx = jnp.where(ok, nxc, nx)
+                    ny = jnp.where(ok, nyc, ny)
+                    nz = jnp.where(ok, nzc, nz)
+                    f1x = jnp.where(ok, n1x, f1x)
+                    f1y = jnp.where(ok, n1y, f1y)
+                    f1z = jnp.where(ok, n1z, f1z)
+                    mat = jnp.where(ok, mjf, mat)
+                return t, nx, ny, nz, f1x, f1y, f1z, mat
+
+            t, nx, ny, nz, f1x, f1y, f1z, mat = jax.lax.fori_loop(
+                0, n_rows, row_body,
+                (t, nx, ny, nz, f1x, f1y, f1z, mat)
+            )
+            # interp-vs-flat select, exactly like traverse.surface_sample:
+            # smooth normals normalize the interp; flat tris use n1 as-is.
+            # mat arrives as 2*mat+smooth (f32; values small, so exact)
+            half = jnp.floor(mat * 0.5)
+            smooth = (mat - 2.0 * half) > 0.5
+            mat = half
+            mag = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+            nx = jnp.where(smooth, nx / mag, f1x)
+            ny = jnp.where(smooth, ny / mag, f1y)
+            nz = jnp.where(smooth, nz / mag, f1z)
+
+        # ---- implicit surfaces (frag.glsl:578-605; bracketed marcher) ----
+        for k in range(n_imp):
+            shx = imp_ref[k, 0]
+            shy = imp_ref[k, 1]
+            shz = imp_ref[k, 2]
+            scx = imp_ref[k, 3]
+            scy = imp_ref[k, 4]
+            scz = imp_ref[k, 5]
+            Ox = (onx - shx) / scx
+            Oy = (ony - shy) / scy
+            Oz = (onz - shz) / scz
+            Dx = dx / scx
+            Dy = dy / scy
+            Dz = dz / scz
+            if imp_rotated[k]:
+                r00, r01, r02 = imp_ref[k, 8], imp_ref[k, 9], imp_ref[k, 10]
+                r10, r11, r12 = imp_ref[k, 11], imp_ref[k, 12], imp_ref[k, 13]
+                r20, r21, r22 = imp_ref[k, 14], imp_ref[k, 15], imp_ref[k, 16]
+                Ox, Oy, Oz = (
+                    r00 * Ox + r01 * Oy + r02 * Oz,
+                    r10 * Ox + r11 * Oy + r12 * Oz,
+                    r20 * Ox + r21 * Oy + r22 * Oz,
+                )
+                Dx, Dy, Dz = (
+                    r00 * Dx + r01 * Dy + r02 * Dz,
+                    r10 * Dx + r11 * Dy + r12 * Dz,
+                    r20 * Dx + r21 * Dy + r22 * Dz,
+                )
+            fimp = _BUILDERS[imp_fn_ids[k] - 1]
+
+            def feval(px, py, pz):
+                return fimp(px * px, py * py, pz * pz, px, py, pz)
+
+            dt = jnp.float32(march_tmax / march_steps)
+            fprev = feval(Ox, Oy, Oz)
+
+            def coarse(i, carry):
+                t_lo, t_hi, found, f_prev = carry
+                tc = dt * (i + 1.0)
+                f = feval(Ox + Dx * tc, Oy + Dy * tc, Oz + Dz * tc)
+                sc = (found == 0) & (f_prev * f < 0.0)
+                t_lo = jnp.where(sc, tc - dt, t_lo)
+                t_hi = jnp.where(sc, tc, t_hi)
+                found = found | sc.astype(jnp.int32)
+                return t_lo, t_hi, found, f
+
+            t_lo, t_hi, found, _ = jax.lax.fori_loop(
+                0, march_steps, coarse,
+                (f0, jnp.full(shape, jnp.float32(march_tmax)),
+                 jnp.zeros(shape, jnp.int32), fprev),
+            )
+            f_lo = feval(Ox + Dx * t_lo, Oy + Dy * t_lo, Oz + Dz * t_lo)
+
+            def bisect(_, carry):
+                t_lo, t_hi, f_lo = carry
+                t_mid = 0.5 * (t_lo + t_hi)
+                f_mid = feval(Ox + Dx * t_mid, Oy + Dy * t_mid,
+                              Oz + Dz * t_mid)
+                go_left = f_lo * f_mid < 0.0
+                t_hi = jnp.where(go_left, t_mid, t_hi)
+                t_lo = jnp.where(go_left, t_lo, t_mid)
+                f_lo = jnp.where(go_left, f_lo, f_mid)
+                return t_lo, t_hi, f_lo
+
+            t_lo, t_hi, _ = jax.lax.fori_loop(
+                0, bisect_iters, bisect, (t_lo, t_hi, f_lo))
+            tk = 0.5 * (t_lo + t_hi)
+            ok = (found > 0) & (tk < t)
+            # normal = +normalize(raw forward-difference gradient), rotated
+            # back (frag.glsl:440-445, 596-600; see shade/implicits.gradient)
+            h = jnp.float32(1e-4)
+            plx = Ox + Dx * tk
+            ply = Oy + Dy * tk
+            plz = Oz + Dz * tk
+            fc = feval(plx, ply, plz)
+            gx = (feval(plx + h, ply, plz) - fc) / h
+            gy = (feval(plx, ply + h, plz) - fc) / h
+            gz = (feval(plx, ply, plz + h) - fc) / h
+            gm = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+            gx, gy, gz = gx / gm, gy / gm, gz / gm
+            if imp_rotated[k]:
+                gx, gy, gz = (
+                    r00 * gx + r10 * gy + r20 * gz,
+                    r01 * gx + r11 * gy + r21 * gz,
+                    r02 * gx + r12 * gy + r22 * gz,
+                )
+            t = jnp.where(ok, tk, t)
+            nx = jnp.where(ok, gx, nx)
+            ny = jnp.where(ok, gy, ny)
+            nz = jnp.where(ok, gz, nz)
+            mat = jnp.where(ok, imp_ref[k, 7], mat)
+
+        # ---- ellipsoids (frag.glsl:606-631) ------------------------------
+        for e in range(n_ell):
+            cx = ell_ref[e, 0]
+            cy = ell_ref[e, 1]
+            cz = ell_ref[e, 2]
+            fx = ell_ref[e, 3]
+            fy = ell_ref[e, 4]
+            fz = ell_ref[e, 5]
+            rad = ell_ref[e, 6]
+            if ell_rotated[e]:
+                r00, r01, r02 = ell_ref[e, 8], ell_ref[e, 9], ell_ref[e, 10]
+                r10, r11, r12 = ell_ref[e, 11], ell_ref[e, 12], ell_ref[e, 13]
+                r20, r21, r22 = ell_ref[e, 14], ell_ref[e, 15], ell_ref[e, 16]
+                rox = r00 * onx + r01 * ony + r02 * onz
+                roy = r10 * onx + r11 * ony + r12 * onz
+                roz = r20 * onx + r21 * ony + r22 * onz
+                rdx = r00 * dx + r01 * dy + r02 * dz
+                rdy = r10 * dx + r11 * dy + r12 * dz
+                rdz = r20 * dx + r21 * dy + r22 * dz
+            else:
+                rox, roy, roz = onx, ony, onz
+                rdx, rdy, rdz = dx, dy, dz
+            ocx = rox - cx
+            ocy = roy - cy
+            ocz = roz - cz
+            a = fx * rdx * rdx + fy * rdy * rdy + fz * rdz * rdz
+            b = 2.0 * (fx * ocx * rdx + fy * ocy * rdy + fz * ocz * rdz)
+            cc = (fx * ocx * ocx + fy * ocy * ocy + fz * ocz * ocz
+                  - rad * rad)
+            disc = b * b - 4.0 * a * cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            inv_2a = 1.0 / (2.0 * a)
+            t0r = (-b - sq) * inv_2a
+            t1r = (-b + sq) * inv_2a
+            t_lo = jnp.minimum(t0r, t1r)
+            t_hi = jnp.maximum(t0r, t1r)
+            te = jnp.where(t_lo > 0.0, t_lo, t_hi)
+            ok = (disc > 0.0) & (te > 0.0) & (te < t)
+            # N = normalize(ro + t*rd - c) in the (rotated) local frame,
+            # rotated back (frag.glsl:622-626)
+            lx = rox + te * rdx - cx
+            ly = roy + te * rdy - cy
+            lz = roz + te * rdz - cz
+            lm = jnp.sqrt(lx * lx + ly * ly + lz * lz)
+            lx, ly, lz = lx / lm, ly / lm, lz / lm
+            if ell_rotated[e]:
+                lx, ly, lz = (
+                    r00 * lx + r10 * ly + r20 * lz,
+                    r01 * lx + r11 * ly + r21 * lz,
+                    r02 * lx + r12 * ly + r22 * lz,
+                )
+            t = jnp.where(ok, te, t)
+            nx = jnp.where(ok, lx, nx)
+            ny = jnp.where(ok, ly, ny)
+            nz = jnp.where(ok, lz, nz)
+            mat = jnp.where(ok, ell_ref[e, 7], mat)
+
+        is_hit = (alive > 0) & (t < jnp.float32(1e25))
+        is_miss = (alive > 0) & ~is_hit
+
+        # hit location (uniform o + t*d for all primitive kinds, matching
+        # traverse.surface_sample incl. the implicit local-t quirk)
+        hx = onx + t * dx
+        hy = ony + t * dy
+        hz = onz + t * dz
+
+        # ---- material fields (newMtl select-chain) ------------------------
+        Kdr, Kdg, Kdb = field(mat, 3), field(mat, 4), field(mat, 5)
+        Ksr, Ksg, Ksb = field(mat, 6), field(mat, 7), field(mat, 8)
+        Tr = field(mat, 11)
+        Tfr, Tfg, Tfb = field(mat, 12), field(mat, 13), field(mat, 14)
+        Ni = field(mat, 15)
+        Ker, Keg, Keb = field(mat, 16), field(mat, 17), field(mat, 18)
+        Density = field(mat, 19)
+        illum = field(mat, 20)
+        Pm = field(mat, 24)
+        Pr = field(mat, 25)
+        Pc = field(mat, 27)
+        Pcr = field(mat, 28)
+        subsurface = field(mat, 41)
+
+        # ---- normal flip by sign(N.D) (frag.glsl:829-830) ----------------
+        nd = _dot3(nx, ny, nz, dx, dy, dz)
+        flip = jnp.where(nd > 0.0, jnp.float32(-1.0), jnp.float32(1.0))
+        nx = nx * flip
+        ny = ny * flip
+        nz = nz * flip
+
+        # ---- refraction-index stack (frag.glsl:832-841) ------------------
+        entering = nd < 0.0
+        can_push = ssize < S
+        do_push = entering & can_push
+        pushed = [jnp.where(do_push, Ni, stack[0])]
+        for i in range(1, S):
+            pushed.append(jnp.where(do_push, stack[i - 1], stack[i]))
+        size_push = jnp.where(do_push, ssize + 1, ssize)
+        n1 = jnp.where(entering, pushed[1], stack[0])
+        n2 = jnp.where(entering, pushed[0], stack[1])
+        can_pop = ssize > 0
+        do_pop = (~entering) & can_pop
+        popped = []
+        for i in range(S - 1):
+            popped.append(jnp.where(do_pop, pushed[i + 1], pushed[i]))
+        popped.append(jnp.where(do_pop, f0, pushed[S - 1]))
+        new_size = jnp.where(do_pop, ssize - 1, size_push)
+
+        # ---- chooseRay (frag.glsl:745-809; shade/bsdf.choose_ray) --------
+        reflection_w = 1.0 - Pr
+        clearcoat_w = Pc
+        tf_mean = (Tfr + Tfg + Tfb) / 3.0
+        transmission_w = jnp.where(
+            Tr > 0.0, Tr, jnp.where(Tfr > 0.0, tf_mean, f0))
+        eta = n1 / n2
+        do_fresnel = (illum == 5.0) | (illum == 7.0) | (transmission_w > 0.0)
+        # fresnelReflectAmount (frag.glsl:726-743)
+        r0 = (n1 - n2) / (n1 + n2)
+        r0 = r0 * r0
+        cos_x = -_dot3(nx, ny, nz, dx, dy, dz)
+        rn = n1 / n2
+        sin_t2 = rn * rn * (1.0 - cos_x * cos_x)
+        tir = (n1 > n2) & (sin_t2 > 1.0)
+        cos_x = jnp.where(n1 > n2,
+                          jnp.sqrt(jnp.maximum(1.0 - sin_t2, 0.0)), cos_x)
+        xf = 1.0 - cos_x
+        fres = r0 + (1.0 - r0) * xf * xf * xf * xf * xf
+        fres = jnp.where(tir, jnp.float32(1.0), fres)
+        fresnel = jnp.where(do_fresnel, fres, f0)
+        reflection_w = reflection_w + fresnel * Pr
+        transmission_w = transmission_w * (1.0 - fresnel)
+        diffuse_w = (1.0 - Pm) * (1.0 - transmission_w) * (1.0 - fresnel)
+        total = diffuse_w + reflection_w + clearcoat_w + transmission_w
+        rw = reflection_w / total
+        cw = clearcoat_w / total
+        tw = transmission_w / total
+
+        # peeked draws at the exact GLSL stream offsets (shade/bsdf.py):
+        # roll=1, plain lambertian 2..7, sub-roll 2, sub lambertian 3..8
+        p = [_peek_u(state, off) for off in range(1, 9)]
+        roll = p[0]
+        lpx = _normal_from(p[1], p[2])
+        lpy = _normal_from(p[3], p[4])
+        lpz = _normal_from(p[5], p[6])
+        sub_roll = p[1]
+        lsx = _normal_from(p[2], p[3])
+        lsy = _normal_from(p[4], p[5])
+        lsz = _normal_from(p[6], p[7])
+
+        # reflect(D, N) with the flipped normal
+        dn = _dot3(nx, ny, nz, dx, dy, dz)
+        refx = dx - 2.0 * dn * nx
+        refy = dy - 2.0 * dn * ny
+        refz = dz - 2.0 * dn * nz
+        # cosine lobes: normalize(lambertian + N)
+        cpx = lpx + nx
+        cpy = lpy + ny
+        cpz = lpz + nz
+        cpm = jnp.sqrt(cpx * cpx + cpy * cpy + cpz * cpz)
+        cpx, cpy, cpz = cpx / cpm, cpy / cpm, cpz / cpm
+        csx = lsx + nx
+        csy = lsy + ny
+        csz = lsz + nz
+        csm = jnp.sqrt(csx * csx + csy * csy + csz * csz)
+        csx, csy, csz = csx / csm, csy / csm, csz / csm
+        # clearcoat = mix(reflect, cosine, Pcr) (frag.glsl:779)
+        ccx = refx * (1.0 - Pcr) + cpx * Pcr
+        ccy = refy * (1.0 - Pcr) + cpy * Pcr
+        ccz = refz * (1.0 - Pcr) + cpz * Pcr
+        # refract(D, N, eta) with TIR -> zero vector (core/math.refract)
+        kk = 1.0 - eta * eta * (1.0 - dn * dn)
+        tir2 = kk < 0.0
+        ksq = jnp.sqrt(jnp.maximum(kk, 0.0))
+        rfx = eta * dx - (eta * dn + ksq) * nx
+        rfy = eta * dy - (eta * dn + ksq) * ny
+        rfz = eta * dz - (eta * dn + ksq) * nz
+        rfx = jnp.where(tir2, f0, rfx)
+        rfy = jnp.where(tir2, f0, rfy)
+        rfz = jnp.where(tir2, f0, rfz)
+
+        t1 = rw
+        t2 = t1 + cw
+        t3 = t2 + tw
+        is_reflect = roll < t1
+        is_cc = (~is_reflect) & (roll < t2)
+        is_tr = (~is_reflect) & (~is_cc) & (roll < t3)
+        is_else = ~(is_reflect | is_cc | is_tr)
+        has_ss = subsurface > 0.0
+        is_sub = is_else & has_ss & (sub_roll < subsurface)
+
+        elx = jnp.where(has_ss, csx, cpx)
+        ely = jnp.where(has_ss, csy, cpy)
+        elz = jnp.where(has_ss, csz, cpz)
+
+        win = jnp.where(
+            is_reflect, 1,
+            jnp.where(is_cc, 2,
+                      jnp.where(is_tr, 3,
+                                jnp.where(is_sub, 4, 0)))).astype(jnp.int32)
+        ndx = jnp.where(is_reflect, refx,
+                        jnp.where(is_cc, ccx, jnp.where(is_tr, rfx, elx)))
+        ndy = jnp.where(is_reflect, refy,
+                        jnp.where(is_cc, ccy, jnp.where(is_tr, rfy, ely)))
+        ndz = jnp.where(is_reflect, refz,
+                        jnp.where(is_cc, ccz, jnp.where(is_tr, rfz, elz)))
+
+        # consumed draws: transmission 1, diffuse-with-subsurface 8, else 7
+        st1 = _advance(state, 1)
+        st7 = _advance(state, 7)
+        st8 = _advance(state, 8)
+        new_state = jnp.where(is_tr, st1,
+                              jnp.where(is_else & has_ss, st8, st7))
+
+        # ---- transport (frag.glsl:847-874) --------------------------------
+        transmitted = win == 3
+        ddx = ex - hx
+        ddy = ey - hy
+        ddz = ez - hz
+        dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+        # where(entering, in_object, True) as pure boolean algebra (a bool
+        # scalar inside jnp.where fails Mosaic's i1 broadcast)
+        apply_absorb = transmitted & ((~entering) | (inobj > 0))
+        new_inobj = jnp.where(transmitted, entering.astype(jnp.int32), inobj)
+        enter_now = transmitted & entering
+        nex = jnp.where(enter_now, hx, ex)
+        ney = jnp.where(enter_now, hy, ey)
+        nez = jnp.where(enter_now, hz, ez)
+
+        hitf = is_hit
+        ir = ir + jnp.where(hitf, Ker * cr, f0)
+        ig = ig + jnp.where(hitf, Keg * cg, f0)
+        ib = ib + jnp.where(hitf, Keb * cb, f0)
+        cutoff = jnp.sqrt(cr * cr + cg * cg + cb * cb) < 0.1  # frag.glsl:866
+        abr = cr * jnp.exp(-Tfr * dist * Density)
+        abg = cg * jnp.exp(-Tfg * dist * Density)
+        abb = cb * jnp.exp(-Tfb * dist * Density)
+        spec = win == 2
+        kkr = jnp.where(spec, Ksr, Kdr)
+        kkg = jnp.where(spec, Ksg, Kdg)
+        kkb = jnp.where(spec, Ksb, Kdb)
+        passthrough = win == 4
+        ncr = jnp.where(apply_absorb, abr,
+                        jnp.where(passthrough, cr, cr * kkr))
+        ncg = jnp.where(apply_absorb, abg,
+                        jnp.where(passthrough, cg, cg * kkg))
+        ncb = jnp.where(apply_absorb, abb,
+                        jnp.where(passthrough, cb, cb * kkb))
+
+        # ---- miss: record throughput for the deferred sky ----------------
+        new_missed = missed | is_miss.astype(jnp.int32)
+        mr = jnp.where(is_miss, cr, mr)
+        mg = jnp.where(is_miss, cg, mg)
+        mb = jnp.where(is_miss, cb, mb)
+
+        # ---- commit masked updates ---------------------------------------
+        def upd(new, old):
+            return jnp.where(hitf, new, old)
+
+        new_alive = (hitf & ~cutoff).astype(jnp.int32)
+        new_live = jnp.sum(new_alive)
+        new_stack = tuple(
+            jnp.where(hitf, popped[i], stack[i]) for i in range(S))
+        return (
+            bounce + 1, new_live, rays,
+            upd(hx, ox), upd(hy, oy), upd(hz, oz),
+            upd(ndx, dx), upd(ndy, dy), upd(ndz, dz),
+            upd(ncr, cr), upd(ncg, cg), upd(ncb, cb),
+            ir, ig, ib,
+            new_stack,
+            jnp.where(hitf, new_size, ssize),
+            jnp.where(hitf, new_inobj, inobj),
+            upd(nex, ex), upd(ney, ey), upd(nez, ez),
+            jnp.where(hitf, new_state, state),
+            new_alive, new_missed,
+            mr, mg, mb,
+        )
+
+    stack0 = tuple(
+        [jnp.full(shape, AIR_IOR)] + [f0 for _ in range(S - 1)])
+    live0 = jnp.sum(alive0)
+    init = (
+        jnp.int32(0), live0, jnp.float32(0.0),
+        ox0, oy0, oz0, dx0, dy0, dz0,
+        jnp.ones(shape, jnp.float32), jnp.ones(shape, jnp.float32),
+        jnp.ones(shape, jnp.float32),
+        f0, f0, f0,
+        stack0,
+        jnp.ones(shape, jnp.int32),
+        jnp.zeros(shape, jnp.int32),
+        f0, f0, f0,
+        state0,
+        alive0, jnp.zeros(shape, jnp.int32),
+        f0, f0, f0,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    (_, _, rays,
+     _, _, _, fdx, fdy, fdz,
+     _, _, _, ir, ig, ib,
+     _, _, _, _, _, _,
+     state, _, missed, mr, mg, mb) = final
+
+    inc_ref[0] = ir
+    inc_ref[1] = ig
+    inc_ref[2] = ib
+    missf = missed > 0
+    mc_ref[0] = jnp.where(missf, mr, f0)
+    mc_ref[1] = jnp.where(missf, mg, f0)
+    mc_ref[2] = jnp.where(missf, mb, f0)
+    dout_ref[0] = fdx
+    dout_ref[1] = fdy
+    dout_ref[2] = fdz
+    sout_ref[...] = state
+    rays_ref[pl.program_id(0), 0] = rays
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_bounces", "leaf_cap", "stack_size", "block_rows",
+                     "ell_rotated", "imp_rotated", "imp_fn_ids",
+                     "march_steps", "bisect_iters", "march_tmax",
+                     "interpret"),
+)
+def trace_block(
+    o3,        # (3, R) f32, R % (block_rows*128) == 0
+    d3,        # (3, R) f32 normalized directions
+    alive,     # (R,) f32: 1 live, 0 padding
+    state,     # (R,) uint32
+    mats,      # (M, 48) f32
+    ell_tab,   # (E, 17) f32
+    imp_tab,   # (I, 17) f32
+    tris,      # (L, 128) f32 (wavefront rows; L may be 1 when no tris)
+    attr,      # (L, 128) f32
+    *,
+    max_bounces: int,
+    leaf_cap: int,
+    stack_size: int,
+    block_rows: int,
+    ell_rotated: tuple,
+    imp_rotated: tuple,
+    imp_fn_ids: tuple,
+    march_steps: int = 256,
+    bisect_iters: int = 24,
+    march_tmax: float = 100.0,
+    interpret: bool = False,
+):
+    """One fused megakernel launch over R rays (one sample's megabatch).
+
+    Returns (inc (3,R), miss_col (3,R), d_out (3,R), state (R,), rays ()).
+    `tris.shape[0] <= 1` disables the triangle loop (analytic-only scenes
+    pass the 1-row zero padding from scene/packing.py).
+    """
+    rb = block_rows * LANES
+    r = o3.shape[1]
+    assert r % rb == 0, (r, rb)
+    grid = (r // rb,)
+    shape = (r // LANES, LANES)
+    n_rows = tris.shape[0] if tris.shape[0] > 1 else 0
+
+    kern = functools.partial(
+        _fused_kernel,
+        max_bounces=max_bounces,
+        leaf_cap=leaf_cap,
+        n_rows=n_rows,
+        n_mats=mats.shape[0],
+        n_ell=len(ell_rotated),
+        n_imp=len(imp_rotated),
+        ell_rotated=ell_rotated,
+        imp_rotated=imp_rotated,
+        imp_fn_ids=imp_fn_ids,
+        stack_size=stack_size,
+        march_steps=march_steps,
+        bisect_iters=bisect_iters,
+        march_tmax=march_tmax,
+    )
+    vec3 = pl.BlockSpec((3, block_rows, LANES), lambda i: (0, i, 0))
+    vec1 = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0))
+    inc, mc, dout, sout, rays = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mats
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ell_tab
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # imp_tab
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tris
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # attr
+            vec3, vec3, vec1, vec1,
+        ],
+        out_specs=[
+            vec3, vec3, vec3, vec1,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3,) + shape, jnp.float32),
+            jax.ShapeDtypeStruct((3,) + shape, jnp.float32),
+            jax.ShapeDtypeStruct((3,) + shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.uint32),
+            jax.ShapeDtypeStruct((grid[0], 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(mats, ell_tab, imp_tab, tris, attr,
+      o3.reshape(3, *shape), d3.reshape(3, *shape),
+      alive.reshape(shape), state.reshape(shape))
+    return (
+        inc.reshape(3, r), mc.reshape(3, r), dout.reshape(3, r),
+        sout.reshape(r), jnp.sum(rays),
+    )
+
+
+def eligible(info, scene, params) -> bool:
+    """Static gate for the fused megakernel path (integrator.trace):
+    VMEM-resident brute-row forest (or analytic-only), no texture maps in
+    play, and a small static material table."""
+    from . import wavefront
+
+    if info.streamed:
+        return False
+    maps_on = params.use_textures and info.has_maps
+    norm_on = (params.use_textures and params.normal_mapping
+               and info.has_normal_maps)
+    if maps_on or norm_on:
+        return False
+    if scene.materials.shape[0] < 1 or scene.materials.shape[0] > 32:
+        return False
+    if info.num_objects > 0:
+        if not getattr(info, "fused_ok", False):
+            return False
+        if scene.wf_tris.shape[0] > wavefront.BRUTE_MAX_ROWS:
+            return False
+    return True
+
+
+def trace_fused(origins, directions, state, scene, info, params,
+                interpret: bool = False, block_rows: int = 32):
+    """Drop-in replacement for integrator.trace on eligible scenes: same
+    signature, same RNG stream semantics, same return values."""
+    from ..scene.texture import sky_color
+
+    B = origins.shape[0]
+    rb = LANES * block_rows
+    while rb > 1024 and rb > B:
+        block_rows //= 2
+        rb = LANES * block_rows
+    b_pad = ((B + rb - 1) // rb) * rb
+    pad = b_pad - B
+
+    o3 = jnp.concatenate(
+        [origins, jnp.zeros((pad, 3), origins.dtype)]).T
+    d3 = jnp.concatenate(
+        [directions, jnp.ones((pad, 3), directions.dtype)]).T
+    alive = jnp.concatenate(
+        [jnp.ones((B,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
+    st = jnp.concatenate(
+        [state.astype(jnp.uint32), jnp.zeros((pad,), jnp.uint32)])
+
+    inc, mc, dout, sout, rays = trace_block(
+        o3, d3, alive, st,
+        scene.materials, scene.ell_tab, scene.imp_tab,
+        scene.wf_tris, scene.wf_attr,
+        max_bounces=params.max_bounces,
+        leaf_cap=max(info.max_leaf_size, 1),
+        stack_size=params.refraction_stack,
+        block_rows=block_rows,
+        ell_rotated=info.ell_rotated[: info.num_ellipsoids],
+        imp_rotated=info.imp_rotated[: info.num_implicits],
+        imp_fn_ids=info.imp_fn_ids[: info.num_implicits],
+        interpret=interpret,
+    )
+    inc = inc.T[:B]
+    mc = mc.T[:B]
+    dout = dout.T[:B]
+    # deferred sky: one equirect sample per ray at its final direction,
+    # weighted by the throughput recorded at miss time (frag.glsl:875-879).
+    # The where-mask (not a bare multiply) keeps a non-missed lane's
+    # sky(NaN direction) * 0 from poisoning inc — the XLA integrator masks
+    # with where(missed, ...) identically.
+    sky = sky_color(scene.tex_data, scene.tex_sizes, dout)
+    inc = inc + jnp.where(mc > 0.0, sky * mc, 0.0)
+    return inc, sout[:B], rays

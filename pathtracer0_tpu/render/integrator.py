@@ -45,6 +45,12 @@ class TraceParams(NamedTuple):
     normal_mapping: bool = True
     # "auto" | "on" | "interpret" | "off" — see kernels.traverse.ray_scene
     pallas: str = "auto"
+    # fused path-trace megakernel (kernels/fused.py): the whole bounce loop
+    # in one Pallas launch. "auto" = on for TPU backends when the scene is
+    # eligible (VMEM-resident brute forest or analytic-only, no texture
+    # maps); "on"/"interpret" force it (interpret for CPU tests); "off"
+    # uses the per-bounce wavefront pipeline below.
+    fused: str = "auto"
     # sort rays by direction octant between bounces (packet coherence).
     # Off by default: measured on v5e the argsort + gather + scatter-back
     # costs ~2.4x the unsorted traversal on a 480k-ray batch — packet
@@ -94,6 +100,26 @@ def trace(origins, directions, state, scene, info, params: TraceParams):
     (B,) uint32 RNG. Returns (incLight (B, 3), new RNG state, rays_traced)
     where rays_traced counts scene queries issued for live rays (the
     Mrays/s accounting unit)."""
+    # Fused megakernel fast path: identical semantics (bit-identical RNG
+    # streams, same bounce order), whole loop in one Pallas launch.
+    from ..kernels import fused as fused_mod
+
+    use_fused = False
+    fused_interp = False
+    if params.fused == "auto":
+        use_fused = (jax.default_backend() != "cpu"
+                     and fused_mod.eligible(info, scene, params))
+    elif params.fused == "on":
+        use_fused = fused_mod.eligible(info, scene, params)
+    elif params.fused == "interpret":
+        use_fused = fused_mod.eligible(info, scene, params)
+        fused_interp = True
+    if use_fused:
+        return fused_mod.trace_fused(
+            origins, directions, state, scene, info, params,
+            interpret=fused_interp,
+        )
+
     B = origins.shape[0]
     f3 = lambda v: jnp.full((B, 3), v, jnp.float32)
 

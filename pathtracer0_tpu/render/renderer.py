@@ -39,6 +39,7 @@ def _frame_params(config: RenderConfig):
         stack_depth=config.traversal_stack_depth,
         refraction_stack=config.refraction_stack_depth,
         pallas=config.pallas,
+        fused=config.fused,
         ray_batch_size=config.ray_batch_size,
         legacy_shading=config.legacy_shading,
     )
@@ -197,13 +198,7 @@ def autofocus_distance(scene, cam_pos, cam_rot, focal_distance, *, info,
     return ifd
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("info", "params", "width", "height", "spp",
-                     "raytracing", "auto_focus", "cam_size", "focal_length",
-                     "blur", "focal_distance"),
-)
-def render_frame(
+def _render_frame_impl(
     scene: DeviceScene,
     cam_pos,
     cam_rot,
@@ -221,7 +216,6 @@ def render_frame(
     blur: float,
     focal_distance: float,
 ):
-    """One frame: ((H, W, 3) float32 mean of `spp` samples, rays traced)."""
     uv, index = camera.pixel_centers(width, height)
     ifd = autofocus_distance(
         scene, cam_pos, cam_rot, focal_distance,
@@ -234,6 +228,34 @@ def render_frame(
         screen_h_ratio=height / float(width), blur=blur,
     )
     return col.reshape(height, width, 3), rays
+
+
+_FRAME_STATICS = ("info", "params", "width", "height", "spp", "raytracing",
+                  "auto_focus", "cam_size", "focal_length", "blur",
+                  "focal_distance")
+
+
+@functools.partial(jax.jit, static_argnames=_FRAME_STATICS)
+def render_frame(scene, cam_pos, cam_rot, frame_seed, **kw):
+    """One frame: ((H, W, 3) float32 mean of `spp` samples, rays traced)."""
+    return _render_frame_impl(scene, cam_pos, cam_rot, frame_seed, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=_FRAME_STATICS)
+def render_frames_accum(scene, cam_pos, cam_rot, frame_seeds, sum0, rays0,
+                        **kw):
+    """K accumulation frames in ONE dispatch: frame_seeds (K,) uint32;
+    returns (sum0 + sum of frames, rays0 + rays). One dispatch matters on
+    this setup: per-dispatch overhead is ~24 ms through the TPU tunnel
+    (PERF.md), so per-frame op-level accumulation would double-pay it."""
+
+    def step(carry, seed):
+        s, r = carry
+        img, rays = _render_frame_impl(scene, cam_pos, cam_rot, seed, **kw)
+        return (s + img, r + rays), None
+
+    (s, r), _ = jax.lax.scan(step, (sum0, rays0), frame_seeds)
+    return s, r
 
 
 def _heat_color(box, leaf):
@@ -324,12 +346,22 @@ class Renderer:
         )
         self._count = 0
         self._frame_index = 0
-        self.rays_traced = 0.0  # samples/s + Mrays/s accounting
+        # ray counter accumulated ON DEVICE: fetching it per frame would
+        # host-sync the pipeline (~39 ms round trip on this setup, PERF.md)
+        # — the reference never syncs per frame either (glFinish only on
+        # screenshot, dispatch.java:794)
+        self._rays_dev = jnp.zeros((), jnp.float32)
         self._rng = np.random.RandomState(self.seed)
         # frame seeds actually drawn from self._rng (≠ _frame_index when
         # callers pass explicit seeds) — the bit-identical-resume contract
         # needs the true draw count (ADVICE r2)
         self._seed_draws = 0
+
+    @property
+    def rays_traced(self) -> float:
+        """Total live scene queries so far. Fetching forces a host sync —
+        read it for reporting, not inside the frame loop."""
+        return float(self._rays_dev)
 
     # -- state ----------------------------------------------------------
     def reset_accumulation(self):
@@ -361,26 +393,44 @@ class Renderer:
                 width=cfg.width, height=cfg.height,
                 cam_size=cfg.cam_size, focal_length=cfg.focal_length,
             )
+            self._sum = self._sum + frame
         else:
-            frame, rays = render_frame(
-                self.scene, self.cam_pos, self.cam_rot,
-                jnp.uint32(frame_seed),
-                info=self.info, params=_frame_params(cfg),
-                width=cfg.width, height=cfg.height,
-                spp=cfg.samples_per_frame, raytracing=cfg.raytracing,
-                auto_focus=cfg.auto_focus, cam_size=cfg.cam_size,
-                focal_length=cfg.focal_length, blur=cfg.blur,
-                focal_distance=cfg.focal_distance,
-            )
-            self.rays_traced += float(rays)
-        self._sum = self._sum + frame
+            self._accum_frames([frame_seed])
         self._count += 1
         self._frame_index += 1
         return self.display_image()
 
-    def render(self, frames: int = 1) -> jax.Array:
-        for _ in range(frames):
-            self.step()
+    def _accum_frames(self, seeds):
+        """Fold len(seeds) frames into the accumulation in ONE dispatch."""
+        cfg = self.config
+        self._sum, self._rays_dev = render_frames_accum(
+            self.scene, self.cam_pos, self.cam_rot,
+            jnp.asarray(seeds, jnp.uint32), self._sum, self._rays_dev,
+            info=self.info, params=_frame_params(cfg),
+            width=cfg.width, height=cfg.height,
+            spp=cfg.samples_per_frame, raytracing=cfg.raytracing,
+            auto_focus=cfg.auto_focus, cam_size=cfg.cam_size,
+            focal_length=cfg.focal_length, blur=cfg.blur,
+            focal_distance=cfg.focal_distance,
+        )
+
+    def render(self, frames: int = 1, chunk: int = 8) -> jax.Array:
+        """Accumulate `frames` frames, dispatching up to `chunk` frames per
+        device call (a scan over seeds — bounds the number of distinct
+        compiled K values while amortizing per-dispatch overhead)."""
+        if self.config.debug:
+            for _ in range(frames):
+                self.step()
+            return self.display_image()
+        left = frames
+        while left > 0:
+            k = min(chunk, left)
+            seeds = [int(self._rng.randint(0, 10000)) for _ in range(k)]
+            self._seed_draws += k
+            self._accum_frames(seeds)
+            self._count += k
+            self._frame_index += k
+            left -= k
         return self.display_image()
 
     def display_image(self) -> jax.Array:

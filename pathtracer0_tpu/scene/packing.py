@@ -72,6 +72,15 @@ class DeviceScene(NamedTuple):
     # 18-26 v1/v2/v3.
     tri_attr: jax.Array    # (T, 27) f32
 
+    # Fused-megakernel tables (kernels/fused.py): attribute rows aligned
+    # with wf_tris (slot j at lanes [10j, 10j+10): n1, n2, n3, mat — flat
+    # normals replicated into all three slots so barycentric interp
+    # reproduces them exactly), and per-primitive scalar tables with
+    # host-precomputed rotation matrices.
+    wf_attr: jax.Array     # (L, 128) f32
+    ell_tab: jax.Array     # (E, 17) f32: c(3), stretch(3), rad, mat, R(9)
+    imp_tab: jax.Array     # (I, 17) f32: shift(3), scale(3), pad, mat, R(9)
+
     # HBM-streamed LBVH (accel/lbvh.py + kernels/wavefront.trace_streamed):
     # populated when the scene exceeds config.stream_threshold triangles.
     st_top: jax.Array      # (2*n_treelets - 1, 8) f32 top-tree AABBs
@@ -224,6 +233,70 @@ def pack_scene(scene, config: RenderConfig,
     wf_roots[0] = n_roots
     wf_roots[1:1 + n_roots] = forest.roots[:n_roots]
 
+    # ---- fused-megakernel attribute rows (kernels/fused.py) ---------------
+    # 10 floats per slot -> needs leaf_cap <= 12; rows align with wf_tris.
+    from ..kernels.fused import ATTR_STRIDE
+
+    fused_feasible = wf_feasible and leaf_cap * ATTR_STRIDE <= 128
+    wf_attr = np.zeros((n_leaves if fused_feasible else 1, 128), np.float32)
+    if forest.node_min.shape[0] and fused_feasible:
+        n1_all = field("n1", 3, np.float32)
+        n2_all = field("n2", 3, np.float32)
+        n3_all = field("n3", 3, np.float32)
+        mat_all = field("mat", 0, np.float32)
+        smooth_all = field("has_smooth", 0, np.float32)
+        for row, nid in enumerate(leaf_ids):
+            s, e = int(forest.leaf_start[nid]), int(forest.leaf_end[nid])
+            cnt = min(e - s, leaf_cap)
+            ids = forest.leaf_tri_indices[s:s + cnt]
+            for j, tid in enumerate(ids):
+                a = ATTR_STRIDE * j
+                wf_attr[row, a:a + 3] = n1_all[tid]
+                wf_attr[row, a + 3:a + 6] = n2_all[tid]
+                wf_attr[row, a + 6:a + 9] = n3_all[tid]
+                # has_smooth rides the low bit so the kernel can replicate
+                # the exact interp-vs-flat select of surface_sample
+                wf_attr[row, a + 9] = 2.0 * mat_all[tid] + smooth_all[tid]
+
+    # ---- analytic-primitive scalar tables (kernels/fused.py) --------------
+    def _rotmat_np(rot):
+        """NumPy twin of core.math.rotation_matrix (Rz @ Ry @ Rx)."""
+        rx, ry, rz = [np.float32(v) for v in rot]
+        cx, sx = np.cos(rx), np.sin(rx)
+        cy, sy = np.cos(ry), np.sin(ry)
+        cz, sz = np.cos(rz), np.sin(rz)
+        return np.array([
+            [cz * cy, cz * sy * sx - sz * cx, cz * sy * cx + sz * sx],
+            [sz * cy, sz * sy * sx + cz * cx, sz * sy * cx - cz * sx],
+            [-sy, cy * sx, cy * cx],
+        ], np.float32)
+
+    n_ell_real = len(scene.ell_rad)
+    ell_tab = np.zeros((max(n_ell_real, 1), 17), np.float32)
+    ell_rotated = []
+    for e in range(n_ell_real):
+        rot = np.asarray(scene.ell_rot[e], np.float32)
+        ell_tab[e, 0:3] = np.asarray(scene.ell_c[e], np.float32)
+        ell_tab[e, 3:6] = np.asarray(scene.ell_stretch[e], np.float32)
+        ell_tab[e, 6] = np.float32(scene.ell_rad[e])
+        ell_tab[e, 7] = np.float32(scene.ell_mat[e])
+        ell_tab[e, 8:17] = _rotmat_np(rot).reshape(9)
+        ell_rotated.append(bool(np.any(rot != 0)))
+
+    n_imp_real = len(scene.imp_fn)
+    imp_tab = np.zeros((max(n_imp_real, 1), 17), np.float32)
+    imp_tab[:, 3:6] = 1.0
+    imp_rotated = []
+    imp_fn_ids = []
+    for k in range(n_imp_real):
+        rot = np.asarray(scene.imp_rot[k], np.float32)
+        imp_tab[k, 0:3] = np.asarray(scene.imp_shift[k], np.float32)
+        imp_tab[k, 3:6] = np.asarray(scene.imp_scale[k], np.float32)
+        imp_tab[k, 7] = np.float32(scene.imp_mat[k])
+        imp_tab[k, 8:17] = _rotmat_np(rot).reshape(9)
+        imp_rotated.append(bool(np.any(rot != 0)))
+        imp_fn_ids.append(int(scene.imp_fn[k]))
+
     tri_obj = np.full(max(n_tri, 1), -1, np.int32)
     if streamed:
         # streamed scenes carry the object ORDINAL (no per-object roots)
@@ -325,6 +398,9 @@ def pack_scene(scene, config: RenderConfig,
         wf_roots=wf_roots,
         tri_obj=tri_obj,
         tri_attr=tri_attr,
+        wf_attr=wf_attr,
+        ell_tab=ell_tab,
+        imp_tab=imp_tab,
         st_top=st_top,
         st_tris=st_tris,
         st_sub=st_sub,
@@ -347,6 +423,14 @@ def pack_scene(scene, config: RenderConfig,
             and len(forest.roots) <= MAX_ROOTS
             and wf_vmem <= 8 * 1024 * 1024
         ),
+        fused_ok=(
+            fused_feasible
+            and len(forest.roots) > 0
+            and wf_vmem + wf_attr.nbytes <= 8 * 1024 * 1024
+        ),
+        ell_rotated=tuple(ell_rotated),
+        imp_rotated=tuple(imp_rotated),
+        imp_fn_ids=tuple(imp_fn_ids),
         has_maps=has_maps,
         has_normal_maps=has_normal_maps,
         has_rotated_ellipsoids=bool(
@@ -390,6 +474,13 @@ class StaticSceneInfo(NamedTuple):
     max_leaf_size: int
     # Wavefront (Pallas) path feasible: forest fits VMEM + root budget
     wf_ok: bool = False
+    # Fused megakernel (kernels/fused.py) feasible for the triangle part:
+    # brute-row forest + 10-float attribute rows fit VMEM (leaf_cap <= 12)
+    fused_ok: bool = False
+    # Per-primitive static metadata for the fused kernel's unrolled loops
+    ell_rotated: tuple = ()
+    imp_rotated: tuple = ()
+    imp_fn_ids: tuple = ()
     # Any material references a texture map / a normal map (compile-time
     # gates for the mapMtl and TBN stages)
     has_maps: bool = True

@@ -1,0 +1,105 @@
+"""Fused megakernel (kernels/fused.py) parity vs the per-bounce pipeline.
+
+The fused kernel replicates integrator.trace op-for-op: RNG streams are
+bit-identical by construction (the uint32->f32 convert is an exact hi/lo
+split), and geometry/shading arithmetic uses the same formulas in the same
+order. Residual differences come from XLA fusion (FMA contraction) flipping
+knife-edge comparisons on isolated lanes — the tests therefore require
+near-total exactness (>= 99% of lanes bit-equal RNG state, tiny mean image
+difference) rather than full bit-equality, matching the repo's established
+knife-edge tolerance practice (tests/test_goldens.py).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pathtracer0_tpu import Scene, scenes
+from pathtracer0_tpu.render.integrator import trace, TraceParams
+from pathtracer0_tpu.core import camera, rng as vrng
+from pathtracer0_tpu.kernels import fused
+
+
+def _rays(builder, cam_key, W=40, H=30, seed=777):
+    dev, info = builder().build(max_leaf=4)
+    cam, rot = scenes.CAMERAS[cam_key]
+    uv, index = camera.pixel_centers(W, H)
+    d = camera.primary_directions(
+        uv, jnp.asarray(rot, jnp.float32), 1.5, 1.0, H / W)
+    o = jnp.broadcast_to(jnp.asarray(cam, jnp.float32), d.shape)
+    return dev, info, o, d, vrng.seed(index, seed)
+
+
+CASES = [
+    ("metal_glass", scenes.metal_glass, 2),   # analytic: glass/Beer-Lambert
+    ("obj_bvh", scenes.obj_bvh, 3),           # triangles + BVH + analytic
+    ("full_pbr", scenes.full_pbr, 4),         # clearcoat, SSS, implicit,
+                                              # rotated ellipsoid
+]
+
+
+@pytest.mark.parametrize("name,builder,key", CASES, ids=[c[0] for c in CASES])
+def test_trace_parity(name, builder, key):
+    dev, info, o, d, state = _rays(builder, key)
+    p_ref = TraceParams(max_bounces=4, fused="off", pallas="off")
+    p_fus = TraceParams(max_bounces=4, fused="interpret", pallas="off")
+    assert fused.eligible(info, dev, p_fus), f"{name} should be eligible"
+    inc0, st0, r0 = trace(o, d, state, dev, info, p_ref)
+    inc1, st1, r1 = trace(o, d, state, dev, info, p_fus)
+    inc0, inc1 = np.asarray(inc0), np.asarray(inc1)
+    assert np.isfinite(inc1).all()
+    # RNG streams: bit-equal except knife-edge lanes
+    state_eq = (np.asarray(st0) == np.asarray(st1)).mean()
+    assert state_eq >= 0.99, state_eq
+    # radiance: tiny mean difference; divergent lanes are isolated
+    diff = np.abs(inc0 - inc1).max(axis=1)
+    assert (diff < 1e-4).mean() >= 0.99, diff.max()
+    assert np.abs(inc0 - inc1).mean() < 5e-3
+    # ray accounting within the knife-edge budget
+    assert abs(float(r0) - float(r1)) <= 0.01 * float(r0) + 16
+
+
+def test_rng_helpers_bit_exact():
+    """The in-kernel RNG helpers must reproduce core/rng.py exactly (they
+    are closed-form affine jumps + the same extract), including the
+    uint32->float conversion."""
+    state = jnp.asarray(
+        np.random.RandomState(3).randint(0, 2 ** 31, 4096, dtype=np.int64)
+        .astype(np.uint32))
+    for off in (1, 2, 5, 8):
+        a, c = fused._affine_consts(off)
+        ref = np.asarray(vrng.advance(state, off))
+        mine = np.asarray(state * a + c)
+        assert np.array_equal(ref, mine), off
+        u_ref = np.asarray(vrng.peek_uniform(state, off))
+        # outside pallas, bitcast == view; emulate _u32_to_f32
+        bits = np.asarray(vrng._extract(vrng.advance(state, off)))
+        hi = (bits >> 16).view(np.int32).astype(np.float32)
+        lo = (bits & 0xFFFF).view(np.int32).astype(np.float32)
+        u_mine = ((hi * np.float32(65536.0) + lo)
+                  * np.float32(1.0 / 4294967295.0))
+        assert np.array_equal(u_ref, u_mine), off
+
+
+def test_dead_lane_padding():
+    """Padding lanes (alive=0) must contribute nothing and never poison
+    live lanes with NaN."""
+    dev, info, o, d, state = _rays(scenes.metal_glass, 2, W=17, H=13)
+    p = TraceParams(max_bounces=3, fused="interpret", pallas="off")
+    inc, st, rays = trace(o, d, state, dev, info, p)
+    assert np.isfinite(np.asarray(inc)).all()
+    # rays counted only for real lanes: <= B * bounces
+    assert float(rays) <= o.shape[0] * 3
+
+
+def test_not_eligible_with_maps():
+    """Scenes with texture maps must fall back to the per-bounce path."""
+    sc = Scene()
+    sc.set_constant_sky((0.5, 0.5, 0.5))
+    sc.add_material("mapped")
+    tex = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
+    idx = sc.textures.register_array(tex, "checker")
+    sc.set_last_mtl("map_Kd", idx)
+    sc.add_sphere((0, 0, 3), 1.0, m=0)
+    dev, info = sc.build()
+    p = TraceParams(max_bounces=2)
+    assert not fused.eligible(info, dev, p)
