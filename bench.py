@@ -35,6 +35,9 @@ BENCH_PARAMS = {
     2: (800, 600, 64, 6, True),
     3: (800, 600, 128, 6, True),
     4: (800, 600, 256, 6, True),
+    # texture-mapped workload (map_Kd/map_Pr/map_norm active — the mapMtl
+    # stage the other configs compile away; VERDICT r2 #5)
+    6: (800, 600, 64, 6, True),
 }
 HERO_SPP_TARGET = 4096
 
@@ -243,7 +246,7 @@ def main():
     if (not only or only == "scale") and os.environ.get(
             "BENCH_SCALE", "1") != "0":
         print(json.dumps(run_scale(rng)), flush=True)
-    for n in (1, 2, 3, 4):
+    for n in (1, 2, 3, 4, 6):
         if only and str(n) != only:
             continue
         results[n] = run_config(n, rng, n_frames)

@@ -122,21 +122,9 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
-def _fused_kernel(
-    mats_ref,       # (M, 48) f32 material records (scene/material.COL)
-    ell_ref,        # (E, 17) f32: c(3), stretch(3), rad, mat, rotmat(9)
-    imp_ref,        # (I, 17) f32: shift(3), scale(3), pad, mat, rotmat(9)
-    tris_ref,       # (L, 128) f32 leaf-packed v1/e1/e2 rows (wavefront fmt)
-    attr_ref,       # (L, 128) f32 attr rows: slot j at [10j, 10j+10)
-    o_ref,          # (3, RS, 128) f32 primary origins
-    d_ref,          # (3, RS, 128) f32 primary directions (normalized)
-    alive_ref,      # (RS, 128) f32: 1 live, 0 padding
-    state_ref,      # (RS, 128) uint32 per-pixel RNG state
-    inc_ref,        # out (3, RS, 128) f32 accumulated radiance (no sky)
-    mc_ref,         # out (3, RS, 128) f32 throughput at miss (0 if none)
-    dout_ref,       # out (3, RS, 128) f32 final direction (for sky)
-    sout_ref,       # out (RS, 128) uint32 advanced RNG state
-    rays_ref,       # out (G, 1) f32 SMEM: live scene queries this block
+def _trace_core(
+    mats_ref, ell_ref, imp_ref, tris_ref, attr_ref,
+    ox0, oy0, oz0, dx0, dy0, dz0, alive0, state0,
     *,
     max_bounces: int,
     leaf_cap: int,
@@ -152,14 +140,14 @@ def _fused_kernel(
     bisect_iters: int,
     march_tmax: float,
 ):
-    shape = alive_ref.shape
+    """The in-kernel bounce loop shared by the per-sample megakernel
+    (`_fused_kernel`) and the whole-frame kernel (`_frame_kernel`).
+
+    Takes SoA ray components + alive (i32) + RNG state at VPU block shape;
+    returns (inc rgb, miss rgb, final dir xyz, state, missed, rays)."""
+    shape = alive0.shape
     f0 = jnp.zeros(shape, jnp.float32)
     S = stack_size
-
-    ox0, oy0, oz0 = o_ref[0], o_ref[1], o_ref[2]
-    dx0, dy0, dz0 = d_ref[0], d_ref[1], d_ref[2]
-    alive0 = (alive_ref[...] > 0.0).astype(jnp.int32)
-    state0 = state_ref[...]
 
     # material field decode: select-chain over the static material count
     # (newMtl, frag.glsl:170-209). mat is an i32 (RS,128) index; miss lanes
@@ -675,13 +663,45 @@ def _fused_kernel(
      _, _, _, _, _, _,
      state, _, missed, mr, mg, mb) = final
 
+    missf = missed > 0
+    return (
+        (ir, ig, ib),
+        (jnp.where(missf, mr, f0), jnp.where(missf, mg, f0),
+         jnp.where(missf, mb, f0)),
+        (fdx, fdy, fdz),
+        state, rays,
+    )
+
+
+def _fused_kernel(
+    mats_ref,       # (M, 48) f32 material records (scene/material.COL)
+    ell_ref,        # (E, 17) f32: c(3), stretch(3), rad, mat, rotmat(9)
+    imp_ref,        # (I, 17) f32: shift(3), scale(3), pad, mat, rotmat(9)
+    tris_ref,       # (L, 128) f32 leaf-packed v1/e1/e2 rows (wavefront fmt)
+    attr_ref,       # (L, 128) f32 attr rows: slot j at [10j, 10j+10)
+    o_ref,          # (3, RS, 128) f32 primary origins
+    d_ref,          # (3, RS, 128) f32 primary directions (normalized)
+    alive_ref,      # (RS, 128) f32: 1 live, 0 padding
+    state_ref,      # (RS, 128) uint32 per-pixel RNG state
+    inc_ref,        # out (3, RS, 128) f32 accumulated radiance (no sky)
+    mc_ref,         # out (3, RS, 128) f32 throughput at miss (0 if none)
+    dout_ref,       # out (3, RS, 128) f32 final direction (for sky)
+    sout_ref,       # out (RS, 128) uint32 advanced RNG state
+    rays_ref,       # out (G, 1) f32 SMEM: live scene queries this block
+    **consts,
+):
+    alive0 = (alive_ref[...] > 0.0).astype(jnp.int32)
+    (ir, ig, ib), (mr, mg, mb), (fdx, fdy, fdz), state, rays = _trace_core(
+        mats_ref, ell_ref, imp_ref, tris_ref, attr_ref,
+        o_ref[0], o_ref[1], o_ref[2], d_ref[0], d_ref[1], d_ref[2],
+        alive0, state_ref[...], **consts,
+    )
     inc_ref[0] = ir
     inc_ref[1] = ig
     inc_ref[2] = ib
-    missf = missed > 0
-    mc_ref[0] = jnp.where(missf, mr, f0)
-    mc_ref[1] = jnp.where(missf, mg, f0)
-    mc_ref[2] = jnp.where(missf, mb, f0)
+    mc_ref[0] = mr
+    mc_ref[1] = mg
+    mc_ref[2] = mb
     dout_ref[0] = fdx
     dout_ref[1] = fdy
     dout_ref[2] = fdz
@@ -782,6 +802,218 @@ def trace_block(
     )
 
 
+def _frame_kernel(
+    mats_ref,       # (M, 48) f32 material records
+    ell_ref,        # (E, 17) f32 ellipsoid table
+    imp_ref,        # (I, 17) f32 implicit table
+    tris_ref,       # (L, 128) f32 leaf-packed triangle rows
+    attr_ref,       # (L, 128) f32 attribute rows
+    scal_ref,       # (16,) f32 SMEM: cam_pos(3), rotmat(9) row-major, ifd
+    uv_ref,         # (2, RS, 128) f32 pixel-center uv (texCoord convention)
+    alive_ref,      # (RS, 128) f32: 1 real pixel, 0 padding
+    seed_ref,       # (RS, 128) uint32 per-pixel seeded RNG state
+    inc_ref,        # out (3, RS, 128) f32: radiance SUMMED over spp (no sky)
+    state_ref,      # out (RS, 128) uint32: RNG state carried across samples
+    mc_ref,         # out (1, 3, RS, 128) f32: throughput at miss, sample s
+    dout_ref,       # out (1, 3, RS, 128) f32: final direction, sample s
+    rays_ref,       # out (G, S) f32 SMEM: live scene queries per (block, s)
+    *,
+    cam_size: float,
+    focal_length: float,
+    h_ratio: float,
+    blur: float,
+    **consts,
+):
+    """Whole-frame megakernel: grid = (pixel blocks, samples).
+
+    Per grid step, ONE sample of one block runs end to end in-kernel:
+    primary-ray generation (frag.glsl:894), the DOF origin jitter + re-aim
+    (frag.glsl:899-908, consuming the same 6 RNG draws as camera.dof_ray),
+    and the whole bounce loop (_trace_core). The RNG state carries across
+    samples through `state_ref` — the reference keeps ONE stream per pixel
+    through all SAMPLE_RES samples (frag.glsl:896-913), and the sample grid
+    dimension is innermost, so consecutive grid steps revisit the same
+    block with the same VMEM-resident state/accumulator buffers.
+
+    This removes the per-sample XLA glue the per-sample kernel left behind
+    (measured ~4.8 ms/sample at 480k rays: dof_ray + (N,3)->(3,N)
+    transposes + padding concats). Only the sky stays outside: per-sample
+    miss throughput/direction slabs come back for one batched equirect
+    pass over all spp*R rays.
+    """
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        state_ref[...] = seed_ref[...]
+        inc_ref[...] = jnp.zeros_like(inc_ref)
+
+    state = state_ref[...]
+    shape = alive_ref.shape
+
+    cx = scal_ref[0]
+    cy = scal_ref[1]
+    cz = scal_ref[2]
+    r00, r01, r02 = scal_ref[3], scal_ref[4], scal_ref[5]
+    r10, r11, r12 = scal_ref[6], scal_ref[7], scal_ref[8]
+    r20, r21, r22 = scal_ref[9], scal_ref[10], scal_ref[11]
+    ifd = scal_ref[12]
+
+    # primary direction (frag.glsl:894; core/camera.primary_directions)
+    xs = (uv_ref[0] * 2.0 - 1.0) * jnp.float32(-cam_size)
+    ys = (uv_ref[1] * 2.0 - 1.0) * jnp.float32(h_ratio * cam_size)
+    zs = jnp.float32(focal_length)
+    pdx = r00 * xs + r01 * ys + r02 * zs
+    pdy = r10 * xs + r11 * ys + r12 * zs
+    pdz = r20 * xs + r21 * ys + r22 * zs
+
+    # DOF (frag.glsl:899-908; core/camera.dof_ray): 6 draws ALWAYS consumed
+    # (the reference draws its jitter vec unconditionally)
+    if blur != 0.0:
+        p = [_peek_u(state, off) for off in range(1, 7)]
+        jx = _normal_from(p[0], p[1]) * jnp.float32(blur)
+        jy = _normal_from(p[2], p[3]) * jnp.float32(blur)
+        jz = _normal_from(p[4], p[5]) * jnp.float32(blur)
+        ox = cx + (r00 * jx + r01 * jy + r02 * jz)
+        oy = cy + (r10 * jx + r11 * jy + r12 * jz)
+        oz = cz + (r20 * jx + r21 * jy + r22 * jz)
+    else:
+        f0 = jnp.zeros(shape, jnp.float32)
+        ox = cx + f0
+        oy = cy + f0
+        oz = cz + f0
+    state = _advance(state, 6)
+    # re-aim at the focal point: d = normalize(cam + pd*ifd - o)
+    ddx = (cx + pdx * ifd) - ox
+    ddy = (cy + pdy * ifd) - oy
+    ddz = (cz + pdz * ifd) - oz
+    mag = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+    dx = ddx / mag
+    dy = ddy / mag
+    dz = ddz / mag
+
+    alive0 = (alive_ref[...] > 0.0).astype(jnp.int32)
+    (ir, ig, ib), (mr, mg, mb), (fdx, fdy, fdz), state, rays = _trace_core(
+        mats_ref, ell_ref, imp_ref, tris_ref, attr_ref,
+        ox, oy, oz, dx, dy, dz, alive0, state, **consts,
+    )
+
+    inc_ref[0] = inc_ref[0] + ir
+    inc_ref[1] = inc_ref[1] + ig
+    inc_ref[2] = inc_ref[2] + ib
+    mc_ref[0, 0] = mr
+    mc_ref[0, 1] = mg
+    mc_ref[0, 2] = mb
+    dout_ref[0, 0] = fdx
+    dout_ref[0, 1] = fdy
+    dout_ref[0, 2] = fdz
+    state_ref[...] = state
+    rays_ref[pl.program_id(0), s] = rays
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "max_bounces", "leaf_cap", "stack_size",
+                     "block_rows", "ell_rotated", "imp_rotated",
+                     "imp_fn_ids", "cam_size", "focal_length", "h_ratio",
+                     "blur", "march_steps", "bisect_iters", "march_tmax",
+                     "interpret"),
+)
+def trace_frame(
+    uv2,       # (2, R) f32, R % (block_rows*128) == 0
+    alive,     # (R,) f32: 1 real pixel, 0 padding
+    seed,      # (R,) uint32 per-pixel seeded state
+    scal,      # (16,) f32: cam_pos(3), rotmat(9), ifd, pad
+    mats, ell_tab, imp_tab, tris, attr,
+    *,
+    spp: int,
+    max_bounces: int,
+    leaf_cap: int,
+    stack_size: int,
+    block_rows: int,
+    ell_rotated: tuple,
+    imp_rotated: tuple,
+    imp_fn_ids: tuple,
+    cam_size: float,
+    focal_length: float,
+    h_ratio: float,
+    blur: float,
+    march_steps: int = 256,
+    bisect_iters: int = 24,
+    march_tmax: float = 100.0,
+    interpret: bool = False,
+):
+    """All spp samples of a whole frame in ONE kernel launch.
+
+    Returns (inc (3, R) radiance summed over spp WITHOUT sky,
+    miss_col (spp, 3, R), d_out (spp, 3, R), state (R,), rays ()).
+    """
+    rb = block_rows * LANES
+    r = uv2.shape[1]
+    assert r % rb == 0, (r, rb)
+    nb = r // rb
+    shape = (r // LANES, LANES)
+    n_rows = tris.shape[0] if tris.shape[0] > 1 else 0
+
+    kern = functools.partial(
+        _frame_kernel,
+        cam_size=cam_size,
+        focal_length=focal_length,
+        h_ratio=h_ratio,
+        blur=blur,
+        max_bounces=max_bounces,
+        leaf_cap=leaf_cap,
+        n_rows=n_rows,
+        n_mats=mats.shape[0],
+        n_ell=len(ell_rotated),
+        n_imp=len(imp_rotated),
+        ell_rotated=ell_rotated,
+        imp_rotated=imp_rotated,
+        imp_fn_ids=imp_fn_ids,
+        stack_size=stack_size,
+        march_steps=march_steps,
+        bisect_iters=bisect_iters,
+        march_tmax=march_tmax,
+    )
+    vec2 = pl.BlockSpec((2, block_rows, LANES), lambda b, s: (0, b, 0))
+    vec1 = pl.BlockSpec((block_rows, LANES), lambda b, s: (b, 0))
+    inc, state, mc, dout, rays = pl.pallas_call(
+        kern,
+        grid=(nb, spp),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mats
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ell_tab
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # imp_tab
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tris
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # attr
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+            vec2, vec1, vec1,
+        ],
+        out_specs=[
+            pl.BlockSpec((3, block_rows, LANES), lambda b, s: (0, b, 0)),
+            vec1,
+            pl.BlockSpec((1, 3, block_rows, LANES),
+                         lambda b, s: (s, 0, b, 0)),
+            pl.BlockSpec((1, 3, block_rows, LANES),
+                         lambda b, s: (s, 0, b, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3,) + shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.uint32),
+            jax.ShapeDtypeStruct((spp, 3) + shape, jnp.float32),
+            jax.ShapeDtypeStruct((spp, 3) + shape, jnp.float32),
+            jax.ShapeDtypeStruct((nb, spp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(mats, ell_tab, imp_tab, tris, attr, scal,
+      uv2.reshape(2, *shape), alive.reshape(shape), seed.reshape(shape))
+    return (
+        inc.reshape(3, r), mc.reshape(spp, 3, r), dout.reshape(spp, 3, r),
+        state.reshape(r), jnp.sum(rays),
+    )
+
+
 def eligible(info, scene, params) -> bool:
     """Static gate for the fused megakernel path (integrator.trace):
     VMEM-resident brute-row forest (or analytic-only), no texture maps in
@@ -803,6 +1035,70 @@ def eligible(info, scene, params) -> bool:
         if scene.wf_tris.shape[0] > wavefront.BRUTE_MAX_ROWS:
             return False
     return True
+
+
+def render_fused_frame(scene, info, params, cam_pos, cam_rot, frame_seed,
+                       ifd, *, width: int, height: int, spp: int,
+                       cam_size: float, focal_length: float, blur: float,
+                       interpret: bool = False, block_rows: int = 32):
+    """One full frame (all pixels x spp samples) through the whole-frame
+    megakernel + one batched sky pass. Returns (col (H*W, 3) mean over spp,
+    rays traced). Bit-compatible RNG semantics with the per-sample path:
+    per-pixel stream seeded index+frame_seed, 6 DOF draws then the trace
+    draws per sample, carried across samples (frag.glsl:896-913)."""
+    from ..core import camera, math as vm, rng as vrng
+    from ..scene.texture import sky_color_soa
+
+    n = width * height
+    rb = LANES * block_rows
+    while rb > 1024 and rb > n:
+        block_rows //= 2
+        rb = LANES * block_rows
+    n_pad = ((n + rb - 1) // rb) * rb
+    pad = n_pad - n
+
+    uv2, index = camera.pixel_centers_soa(width, height)
+    uv2 = jnp.concatenate(
+        [uv2, jnp.zeros((2, pad), jnp.float32)], axis=1)
+    alive = jnp.concatenate(
+        [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
+    seed = jnp.concatenate(
+        [vrng.seed(index, frame_seed), jnp.zeros((pad,), jnp.uint32)])
+    rmat = vm.rotation_matrix(jnp.asarray(cam_rot, jnp.float32))
+    scal = jnp.concatenate([
+        jnp.asarray(cam_pos, jnp.float32).reshape(3),
+        rmat.reshape(9),
+        jnp.reshape(ifd, (1,)).astype(jnp.float32),
+        jnp.zeros((3,), jnp.float32),
+    ])
+
+    inc, mc, dout, _state, rays = trace_frame(
+        uv2, alive, seed, scal,
+        scene.materials, scene.ell_tab, scene.imp_tab,
+        scene.wf_tris, scene.wf_attr,
+        spp=spp,
+        max_bounces=params.max_bounces,
+        leaf_cap=max(info.max_leaf_size, 1),
+        stack_size=params.refraction_stack,
+        block_rows=block_rows,
+        ell_rotated=info.ell_rotated[: info.num_ellipsoids],
+        imp_rotated=info.imp_rotated[: info.num_implicits],
+        imp_fn_ids=info.imp_fn_ids[: info.num_implicits],
+        cam_size=cam_size,
+        focal_length=focal_length,
+        h_ratio=height / float(width),
+        blur=blur,
+        interpret=interpret,
+    )
+    # deferred sky over all (spp, R) miss records in one batched pass,
+    # where-masked per channel exactly like trace_fused
+    sr, sg, sb = sky_color_soa(
+        scene.tex_data, scene.tex_sizes, dout[:, 0], dout[:, 1], dout[:, 2])
+    ir = inc[0] + jnp.sum(jnp.where(mc[:, 0] > 0.0, sr * mc[:, 0], 0.0), 0)
+    ig = inc[1] + jnp.sum(jnp.where(mc[:, 1] > 0.0, sg * mc[:, 1], 0.0), 0)
+    ib = inc[2] + jnp.sum(jnp.where(mc[:, 2] > 0.0, sb * mc[:, 2], 0.0), 0)
+    col = jnp.stack([ir, ig, ib], axis=-1)[:n] / jnp.float32(spp)
+    return col, rays
 
 
 def trace_fused(origins, directions, state, scene, info, params,

@@ -216,11 +216,34 @@ def _render_frame_impl(
     blur: float,
     focal_distance: float,
 ):
-    uv, index = camera.pixel_centers(width, height)
     ifd = autofocus_distance(
         scene, cam_pos, cam_rot, focal_distance,
         info=info, params=params, auto_focus=auto_focus,
     )
+
+    # Whole-frame megakernel fast path (kernels/fused.render_fused_frame):
+    # raygen + DOF + all spp samples + the bounce loop in ONE launch; only
+    # the sky pass stays outside. Same RNG streams as the loop below.
+    from ..kernels import fused as fused_mod
+
+    use_frame = (
+        raytracing
+        and not params.legacy_shading
+        and not params.fold_spp
+        and params.fused in ("auto", "on", "interpret")
+        and (params.fused != "auto" or jax.default_backend() != "cpu")
+        and fused_mod.eligible(info, scene, params)
+    )
+    if use_frame:
+        col, rays = fused_mod.render_fused_frame(
+            scene, info, params, cam_pos, cam_rot, frame_seed, ifd,
+            width=width, height=height, spp=spp, cam_size=cam_size,
+            focal_length=focal_length, blur=blur,
+            interpret=(params.fused == "interpret"),
+        )
+        return col.reshape(height, width, 3), rays
+
+    uv, index = camera.pixel_centers(width, height)
     col, rays = render_rays(
         scene, uv, index, cam_pos, cam_rot, frame_seed, ifd,
         info=info, params=params, spp=spp, raytracing=raytracing,

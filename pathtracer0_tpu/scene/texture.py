@@ -125,6 +125,19 @@ def sample_bilinear(tex_data, tex_sizes, tex_index, uv):
     return top * (1.0 - fy) + bot * fy
 
 
+def sky_color_soa(tex_data, tex_sizes, dx, dy, dz):
+    """SoA variant of `sky_color` for component-planar callers (the fused
+    frame kernel returns (spp, 3, R) direction slabs): takes dx/dy/dz of any
+    matching shape, returns (r, g, b) with that shape — no AoS transposes.
+    """
+    u = 0.5 + jnp.arctan2(dz, dx) / jnp.float32(2.0 * 3.14159)
+    v = 0.5 - jnp.arcsin(jnp.clip(dy, -1.0, 1.0)) / jnp.float32(3.14159)
+    uv = jnp.stack([u, v], axis=-1)
+    idx = jnp.zeros(dx.shape, jnp.int32)
+    c = sample_bilinear(tex_data, tex_sizes, idx, uv)
+    return c[..., 0], c[..., 1], c[..., 2]
+
+
 def sky_color(tex_data, tex_sizes, direction):
     """Equirectangular environment lookup of texture 0 (frag.glsl:235-242):
     uv = (0.5 + atan2(z, x)/(2*3.14159), 0.5 - asin(y)/3.14159)."""

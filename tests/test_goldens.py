@@ -29,7 +29,7 @@ from pathtracer0_tpu.utils import image as img_util
 RMSE_BUDGET = 0.05
 
 
-@pytest.mark.parametrize("n", [1, 2, 3, 4])
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 6])
 def test_golden(n):
     gpath = os.path.join(GOLDEN_DIR, f"config{n}.png")
     assert os.path.exists(gpath), f"golden missing: {gpath}"

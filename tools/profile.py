@@ -91,10 +91,11 @@ def main():
     rot = jnp.asarray(rot, jnp.float32)
 
     def frame(cfg_kw=None, frame_seed=None):
-        cfg = RenderConfig(width=w, height=h, samples_per_frame=spp,
-                           max_bounces=bounces, raytracing=raytracing,
-                           auto_focus=False, blur=0.001,
-                           **(cfg_kw or {}))
+        base = dict(width=w, height=h, samples_per_frame=spp,
+                    max_bounces=bounces, raytracing=raytracing,
+                    auto_focus=False, blur=0.001)
+        base.update(cfg_kw or {})
+        cfg = RenderConfig(**base)
         return render_frame(
             dev, cam, rot, frame_seed, info=info,
             params=_frame_params(cfg), width=cfg.width, height=cfg.height,
