@@ -51,16 +51,27 @@ def render_frame_tiled(
     scene, cam_pos, cam_rot, frame_seed, mesh: Mesh, *,
     info, params, width: int, height: int, spp: int, raytracing: bool,
     auto_focus: bool, cam_size: float, focal_length: float, blur: float,
-    focal_distance: float,
+    focal_distance: float, row_range=None,
 ):
     """One frame with the pixel axis sharded across the mesh.
 
     Returns ((H, W, 3) image, rays_traced). Zero per-tile communication; the
     only cross-device movement is the final gather when the caller reads the
     image (XLA inserts it lazily).
+
+    row_range=(start, stop) renders only those image rows (the multi-host
+    slab decomposition, dist/multihost.py) — RNG streams stay seeded by the
+    GLOBAL pixel index, so the assembled multi-host image is bit-compatible
+    with a single-process render. Returns ((stop-start, W, 3), rays).
     """
     n_dev = mesh.devices.size
     uv_host, index_host = camera.pixel_centers(width, height)
+    out_rows = height
+    if row_range is not None:
+        start, stop = row_range
+        uv_host = uv_host[start * width: stop * width]
+        index_host = index_host[start * width: stop * width]
+        out_rows = stop - start
     n = uv_host.shape[0]
     n_pad = _pad_to(n, n_dev)
     uv = jnp.pad(uv_host, ((0, n_pad - n), (0, 0)))
@@ -98,7 +109,7 @@ def render_frame_tiled(
     col, rays = run(scene, uv, index, jnp.asarray(cam_pos, jnp.float32),
                     jnp.asarray(cam_rot, jnp.float32),
                     jnp.uint32(frame_seed))
-    return col[:n].reshape(height, width, 3), rays
+    return col[:n].reshape(out_rows, width, 3), rays
 
 
 def render_frame_sample_split(

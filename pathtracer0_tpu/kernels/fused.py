@@ -63,6 +63,18 @@ _INV32 = np.float32(1.0) / np.float32(4294967295.0)  # frag.glsl:693
 # attribute row layout: 10 floats per tri slot (n1 xyz, n2 xyz, n3 xyz, mat)
 ATTR_STRIDE = 10
 
+# dense fused-table packing (scene/packing.py): triangles at 14/row
+# (9 floats each), attributes at 12/row (ATTR_STRIDE floats each) — the
+# two tables have independent densities because attributes resolve by
+# committed triangle id AFTER the intersection loop, not at commit time
+TRI_CAP = 14
+ATTR_CAP = 12
+# Largest triangle count that takes the fused-brute path: the kernel tests
+# every triangle against every ray block per bounce, so the cutoff is a
+# compute budget, not a VMEM one (2048 tris = 147 rows = ~9.4 KB VMEM).
+# Bigger scenes traverse the packet/streamed BVH kernels instead.
+FUSED_MAX_TRIS = 2048
+
 _MASK = 0xFFFFFFFF
 _MUL = 747796405
 _INC = 2891336453
@@ -127,7 +139,6 @@ def _trace_core(
     ox0, oy0, oz0, dx0, dy0, dz0, alive0, state0,
     *,
     max_bounces: int,
-    leaf_cap: int,
     n_rows: int,
     n_mats: int,
     n_ell: int,
@@ -139,6 +150,11 @@ def _trace_core(
     march_steps: int,
     bisect_iters: int,
     march_tmax: float,
+    gate_ss: bool = True,
+    gate_cc: bool = True,
+    gate_trans: bool = True,
+    gate_fresnel: bool = True,
+    gate_emit: bool = True,
 ):
     """The in-kernel bounce loop shared by the per-sample megakernel
     (`_fused_kernel`) and the whole-frame kernel (`_frame_kernel`).
@@ -147,7 +163,9 @@ def _trace_core(
     returns (inc rgb, miss rgb, final dir xyz, state, missed, rays)."""
     shape = alive0.shape
     f0 = jnp.zeros(shape, jnp.float32)
-    S = stack_size
+    use_stack = gate_trans or gate_fresnel
+    # stack state exists only when something reads n1/n2 (see body)
+    S = stack_size if use_stack else 1
 
     # material field decode: select-chain over the static material count
     # (newMtl, frag.glsl:170-209). mat is an i32 (RS,128) index; miss lanes
@@ -176,7 +194,6 @@ def _trace_core(
         onz = oz + jnp.float32(1e-4) * dz
 
         # ---- closest hit: t + committed shading normal + material -------
-        t = jnp.where(alive > 0, MISS, 0.0)
         nx = f0
         ny = f0
         nz = f0
@@ -185,17 +202,22 @@ def _trace_core(
         mat = f0
 
         if n_rows > 0:
-            # row-loop carries: closest t, raw barycentric-interp normal,
-            # the n1 slot (flat normal), and the packed 2*mat+smooth code —
-            # the interp-vs-flat select and normalization happen ONCE after
-            # the loop, op-for-op like traverse.surface_sample.
-            f1x = f0
-            f1y = f0
-            f1z = f0
+            # Division-free Moller-Trumbore over the DENSE fs_tris rows
+            # (TRI_CAP=14 tris/row, scene/packing.py): the candidate t is
+            # carried as a RATIO (tn / td with td = |det| > 0), so the
+            # per-triangle division disappears — comparisons cross-multiply
+            # (both denominators positive) and ONE reciprocal after the
+            # loop recovers t, u, v. Commits carry only (tn, td, un, vn,
+            # hid); attributes resolve in a second, much cheaper pass.
+            tn = jnp.where(alive > 0, MISS, 0.0)
+            td = jnp.ones(shape, jnp.float32)
+            un = f0
+            vn = f0
+            hid = jnp.full(shape, -1.0)
 
             def row_body(row, carry):
-                t, nx, ny, nz, f1x, f1y, f1z, mat = carry
-                for j in range(leaf_cap):
+                tn, td, un, vn, hid = carry
+                for j in range(TRI_CAP):
                     base = 9 * j
                     v1x = tris_ref[row, base + 0]
                     v1y = tris_ref[row, base + 1]
@@ -206,71 +228,103 @@ def _trace_core(
                     e2x = tris_ref[row, base + 6]
                     e2y = tris_ref[row, base + 7]
                     e2z = tris_ref[row, base + 8]
-                    # Moller-Trumbore at VPU width (frag.glsl:351-372),
-                    # op-for-op the wavefront kernel's loop
                     px = dy * e2z - dz * e2y
                     py = dz * e2x - dx * e2z
                     pz = dx * e2y - dy * e2x
                     det = e1x * px + e1y * py + e1z * pz
-                    inv_det = 1.0 / det
                     sx = onx - v1x
                     sy = ony - v1y
                     sz = onz - v1z
-                    u = (sx * px + sy * py + sz * pz) * inv_det
+                    ur = sx * px + sy * py + sz * pz
                     qx = sy * e1z - sz * e1y
                     qy = sz * e1x - sx * e1z
                     qz = sx * e1y - sy * e1x
-                    v = (dx * qx + dy * qy + dz * qz) * inv_det
-                    tc = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    vr = dx * qx + dy * qy + dz * qz
+                    tr = e2x * qx + e2y * qy + e2z * qz
+                    sg = jnp.where(det >= 0.0, jnp.float32(1.0),
+                                   jnp.float32(-1.0))
+                    adet = det * sg
+                    uc = ur * sg
+                    vc = vr * sg
+                    tc = tr * sg
+                    # u <= 1 is implied by u >= 0, v >= 0, u + v <= det;
+                    # t > EPS and t_new < t_old cross-multiplied by the
+                    # (positive) denominators
                     ok = (
-                        (jnp.abs(det) >= EPSILON)
-                        & (u >= 0.0)
-                        & (u <= 1.0)
-                        & (v >= 0.0)
-                        & (u + v <= 1.0)
-                        & (tc > EPSILON)
-                        & (tc < t)
+                        (adet >= EPSILON)
+                        & (uc >= 0.0)
+                        & (vc >= 0.0)
+                        & (uc + vc <= adet)
+                        & (tc > EPSILON * adet)
+                        & (tc * td < tn * adet)
                     )
-                    # attribute capture AT COMMIT (frag.glsl:499-507)
-                    ab = ATTR_STRIDE * j
-                    n1x = attr_ref[row, ab + 0]
-                    n1y = attr_ref[row, ab + 1]
-                    n1z = attr_ref[row, ab + 2]
-                    n2x = attr_ref[row, ab + 3]
-                    n2y = attr_ref[row, ab + 4]
-                    n2z = attr_ref[row, ab + 5]
-                    n3x = attr_ref[row, ab + 6]
-                    n3y = attr_ref[row, ab + 7]
-                    n3z = attr_ref[row, ab + 8]
-                    mjf = attr_ref[row, ab + 9]
-                    w = 1.0 - u - v
-                    nxc = n1x * w + n2x * u + n3x * v
-                    nyc = n1y * w + n2y * u + n3y * v
-                    nzc = n1z * w + n2z * u + n3z * v
-                    t = jnp.where(ok, tc, t)
-                    nx = jnp.where(ok, nxc, nx)
-                    ny = jnp.where(ok, nyc, ny)
-                    nz = jnp.where(ok, nzc, nz)
-                    f1x = jnp.where(ok, n1x, f1x)
-                    f1y = jnp.where(ok, n1y, f1y)
-                    f1z = jnp.where(ok, n1z, f1z)
-                    mat = jnp.where(ok, mjf, mat)
-                return t, nx, ny, nz, f1x, f1y, f1z, mat
+                    tn = jnp.where(ok, tc, tn)
+                    td = jnp.where(ok, adet, td)
+                    un = jnp.where(ok, uc, un)
+                    vn = jnp.where(ok, vc, vn)
+                    hid = jnp.where(ok, jnp.float32(row * TRI_CAP + j), hid)
+                return tn, td, un, vn, hid
 
-            t, nx, ny, nz, f1x, f1y, f1z, mat = jax.lax.fori_loop(
-                0, n_rows, row_body,
-                (t, nx, ny, nz, f1x, f1y, f1z, mat)
-            )
+            tn, td, un, vn, hid = jax.lax.fori_loop(
+                0, n_rows, row_body, (tn, td, un, vn, hid))
+            invd = 1.0 / td
+            t = tn * invd
+            u = un * invd
+            v = vn * invd
+
+            # attribute resolve by committed triangle id over the dense
+            # attr rows (ATTR_CAP=12 slots/row): 11 VPU ops per slot vs
+            # ~24 for capture-at-commit — and the interp/normalize happens
+            # ONCE instead of per candidate.
+            a1x = f0
+            a1y = f0
+            a1z = f0
+            a2x = f0
+            a2y = f0
+            a2z = f0
+            a3x = f0
+            a3y = f0
+            a3z = f0
+            amc = f0
+
+            def attr_body(row, carry):
+                a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, amc = carry
+                for j in range(ATTR_CAP):
+                    a = ATTR_STRIDE * j
+                    eq = hid == jnp.float32(row * ATTR_CAP + j)
+                    a1x = jnp.where(eq, attr_ref[row, a + 0], a1x)
+                    a1y = jnp.where(eq, attr_ref[row, a + 1], a1y)
+                    a1z = jnp.where(eq, attr_ref[row, a + 2], a1z)
+                    a2x = jnp.where(eq, attr_ref[row, a + 3], a2x)
+                    a2y = jnp.where(eq, attr_ref[row, a + 4], a2y)
+                    a2z = jnp.where(eq, attr_ref[row, a + 5], a2z)
+                    a3x = jnp.where(eq, attr_ref[row, a + 6], a3x)
+                    a3y = jnp.where(eq, attr_ref[row, a + 7], a3y)
+                    a3z = jnp.where(eq, attr_ref[row, a + 8], a3z)
+                    amc = jnp.where(eq, attr_ref[row, a + 9], amc)
+                return (a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, amc)
+
+            n_attr_rows = -(-n_rows * TRI_CAP // ATTR_CAP)
+            (a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, amc) = (
+                jax.lax.fori_loop(
+                    0, n_attr_rows, attr_body,
+                    (a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, amc)))
             # interp-vs-flat select, exactly like traverse.surface_sample:
             # smooth normals normalize the interp; flat tris use n1 as-is.
-            # mat arrives as 2*mat+smooth (f32; values small, so exact)
-            half = jnp.floor(mat * 0.5)
-            smooth = (mat - 2.0 * half) > 0.5
+            # amc arrives as 2*mat+smooth (f32; values small, so exact)
+            half = jnp.floor(amc * 0.5)
+            smooth = (amc - 2.0 * half) > 0.5
             mat = half
-            mag = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-            nx = jnp.where(smooth, nx / mag, f1x)
-            ny = jnp.where(smooth, ny / mag, f1y)
-            nz = jnp.where(smooth, nz / mag, f1z)
+            w = 1.0 - u - v
+            nix = a1x * w + a2x * u + a3x * v
+            niy = a1y * w + a2y * u + a3y * v
+            niz = a1z * w + a2z * u + a3z * v
+            mag = jnp.sqrt(nix * nix + niy * niy + niz * niz)
+            nx = jnp.where(smooth, nix / mag, a1x)
+            ny = jnp.where(smooth, niy / mag, a1y)
+            nz = jnp.where(smooth, niz / mag, a1z)
+        else:
+            t = jnp.where(alive > 0, MISS, 0.0)
 
         # ---- implicit surfaces (frag.glsl:578-605; bracketed marcher) ----
         for k in range(n_imp):
@@ -431,19 +485,29 @@ def _trace_core(
         hz = onz + t * dz
 
         # ---- material fields (newMtl select-chain) ------------------------
+        # Static capability gates (scene/packing.py scans the material
+        # table): a scene with no transmissive / clearcoat / subsurface /
+        # emissive material compiles those stages away entirely — same
+        # trick as the XLA path's has_maps gate, applied per lobe family.
         Kdr, Kdg, Kdb = field(mat, 3), field(mat, 4), field(mat, 5)
-        Ksr, Ksg, Ksb = field(mat, 6), field(mat, 7), field(mat, 8)
-        Tr = field(mat, 11)
-        Tfr, Tfg, Tfb = field(mat, 12), field(mat, 13), field(mat, 14)
-        Ni = field(mat, 15)
-        Ker, Keg, Keb = field(mat, 16), field(mat, 17), field(mat, 18)
-        Density = field(mat, 19)
-        illum = field(mat, 20)
+        if gate_cc:
+            Ksr, Ksg, Ksb = field(mat, 6), field(mat, 7), field(mat, 8)
+        if gate_trans:
+            Tr = field(mat, 11)
+            Tfr, Tfg, Tfb = field(mat, 12), field(mat, 13), field(mat, 14)
+            Ni = field(mat, 15)
+            Density = field(mat, 19)
+        if gate_emit:
+            Ker, Keg, Keb = field(mat, 16), field(mat, 17), field(mat, 18)
+        if gate_fresnel:
+            illum = field(mat, 20)
         Pm = field(mat, 24)
         Pr = field(mat, 25)
-        Pc = field(mat, 27)
-        Pcr = field(mat, 28)
-        subsurface = field(mat, 41)
+        if gate_cc:
+            Pc = field(mat, 27)
+            Pcr = field(mat, 28)
+        if gate_ss:
+            subsurface = field(mat, 41)
 
         # ---- normal flip by sign(N.D) (frag.glsl:829-830) ----------------
         nd = _dot3(nx, ny, nz, dx, dy, dz)
@@ -453,63 +517,84 @@ def _trace_core(
         nz = nz * flip
 
         # ---- refraction-index stack (frag.glsl:832-841) ------------------
+        # With no transmissive or fresnel-illum material in the scene the
+        # stack is write-only state: n1/n2 feed only eta and fresnel, so
+        # the whole (B, S) structure compiles away (use_stack False).
         entering = nd < 0.0
-        can_push = ssize < S
-        do_push = entering & can_push
-        pushed = [jnp.where(do_push, Ni, stack[0])]
-        for i in range(1, S):
-            pushed.append(jnp.where(do_push, stack[i - 1], stack[i]))
-        size_push = jnp.where(do_push, ssize + 1, ssize)
-        n1 = jnp.where(entering, pushed[1], stack[0])
-        n2 = jnp.where(entering, pushed[0], stack[1])
-        can_pop = ssize > 0
-        do_pop = (~entering) & can_pop
-        popped = []
-        for i in range(S - 1):
-            popped.append(jnp.where(do_pop, pushed[i + 1], pushed[i]))
-        popped.append(jnp.where(do_pop, f0, pushed[S - 1]))
-        new_size = jnp.where(do_pop, ssize - 1, size_push)
+        if use_stack:
+            can_push = ssize < S
+            do_push = entering & can_push
+            pushed = [jnp.where(do_push, Ni, stack[0])]
+            for i in range(1, S):
+                pushed.append(jnp.where(do_push, stack[i - 1], stack[i]))
+            size_push = jnp.where(do_push, ssize + 1, ssize)
+            n1 = jnp.where(entering, pushed[1], stack[0])
+            n2 = jnp.where(entering, pushed[0], stack[1])
+            can_pop = ssize > 0
+            do_pop = (~entering) & can_pop
+            popped = []
+            for i in range(S - 1):
+                popped.append(jnp.where(do_pop, pushed[i + 1], pushed[i]))
+            popped.append(jnp.where(do_pop, f0, pushed[S - 1]))
+            new_size = jnp.where(do_pop, ssize - 1, size_push)
+        else:
+            popped = stack
+            new_size = ssize
 
         # ---- chooseRay (frag.glsl:745-809; shade/bsdf.choose_ray) --------
         reflection_w = 1.0 - Pr
-        clearcoat_w = Pc
-        tf_mean = (Tfr + Tfg + Tfb) / 3.0
-        transmission_w = jnp.where(
-            Tr > 0.0, Tr, jnp.where(Tfr > 0.0, tf_mean, f0))
-        eta = n1 / n2
-        do_fresnel = (illum == 5.0) | (illum == 7.0) | (transmission_w > 0.0)
-        # fresnelReflectAmount (frag.glsl:726-743)
-        r0 = (n1 - n2) / (n1 + n2)
-        r0 = r0 * r0
-        cos_x = -_dot3(nx, ny, nz, dx, dy, dz)
-        rn = n1 / n2
-        sin_t2 = rn * rn * (1.0 - cos_x * cos_x)
-        tir = (n1 > n2) & (sin_t2 > 1.0)
-        cos_x = jnp.where(n1 > n2,
-                          jnp.sqrt(jnp.maximum(1.0 - sin_t2, 0.0)), cos_x)
-        xf = 1.0 - cos_x
-        fres = r0 + (1.0 - r0) * xf * xf * xf * xf * xf
-        fres = jnp.where(tir, jnp.float32(1.0), fres)
-        fresnel = jnp.where(do_fresnel, fres, f0)
-        reflection_w = reflection_w + fresnel * Pr
-        transmission_w = transmission_w * (1.0 - fresnel)
-        diffuse_w = (1.0 - Pm) * (1.0 - transmission_w) * (1.0 - fresnel)
+        if gate_trans:
+            tf_mean = (Tfr + Tfg + Tfb) / 3.0
+            transmission_w = jnp.where(
+                Tr > 0.0, Tr, jnp.where(Tfr > 0.0, tf_mean, f0))
+            eta = n1 / n2
+        else:
+            transmission_w = f0
+        if use_stack:
+            if gate_fresnel:
+                do_fresnel = ((illum == 5.0) | (illum == 7.0)
+                              | (transmission_w > 0.0))
+            else:
+                do_fresnel = transmission_w > 0.0
+            # fresnelReflectAmount (frag.glsl:726-743)
+            r0 = (n1 - n2) / (n1 + n2)
+            r0 = r0 * r0
+            cos_x = -_dot3(nx, ny, nz, dx, dy, dz)
+            rn = n1 / n2
+            sin_t2 = rn * rn * (1.0 - cos_x * cos_x)
+            tir = (n1 > n2) & (sin_t2 > 1.0)
+            cos_x = jnp.where(n1 > n2,
+                              jnp.sqrt(jnp.maximum(1.0 - sin_t2, 0.0)),
+                              cos_x)
+            xf = 1.0 - cos_x
+            fres = r0 + (1.0 - r0) * xf * xf * xf * xf * xf
+            fres = jnp.where(tir, jnp.float32(1.0), fres)
+            fresnel = jnp.where(do_fresnel, fres, f0)
+            reflection_w = reflection_w + fresnel * Pr
+            transmission_w = transmission_w * (1.0 - fresnel)
+            diffuse_w = (1.0 - Pm) * (1.0 - transmission_w) * (1.0 - fresnel)
+        else:
+            fresnel = f0
+            diffuse_w = 1.0 - Pm
+        clearcoat_w = Pc if gate_cc else 0.0
         total = diffuse_w + reflection_w + clearcoat_w + transmission_w
         rw = reflection_w / total
-        cw = clearcoat_w / total
-        tw = transmission_w / total
+        cw = clearcoat_w / total if gate_cc else f0
+        tw = transmission_w / total if gate_trans else f0
 
         # peeked draws at the exact GLSL stream offsets (shade/bsdf.py):
         # roll=1, plain lambertian 2..7, sub-roll 2, sub lambertian 3..8
-        p = [_peek_u(state, off) for off in range(1, 9)]
+        p = [_peek_u(state, off)
+             for off in range(1, 9 if gate_ss else 8)]
         roll = p[0]
         lpx = _normal_from(p[1], p[2])
         lpy = _normal_from(p[3], p[4])
         lpz = _normal_from(p[5], p[6])
-        sub_roll = p[1]
-        lsx = _normal_from(p[2], p[3])
-        lsy = _normal_from(p[4], p[5])
-        lsz = _normal_from(p[6], p[7])
+        if gate_ss:
+            sub_roll = p[1]
+            lsx = _normal_from(p[2], p[3])
+            lsy = _normal_from(p[4], p[5])
+            lsz = _normal_from(p[6], p[7])
 
         # reflect(D, N) with the flipped normal
         dn = _dot3(nx, ny, nz, dx, dy, dz)
@@ -522,93 +607,123 @@ def _trace_core(
         cpz = lpz + nz
         cpm = jnp.sqrt(cpx * cpx + cpy * cpy + cpz * cpz)
         cpx, cpy, cpz = cpx / cpm, cpy / cpm, cpz / cpm
-        csx = lsx + nx
-        csy = lsy + ny
-        csz = lsz + nz
-        csm = jnp.sqrt(csx * csx + csy * csy + csz * csz)
-        csx, csy, csz = csx / csm, csy / csm, csz / csm
-        # clearcoat = mix(reflect, cosine, Pcr) (frag.glsl:779)
-        ccx = refx * (1.0 - Pcr) + cpx * Pcr
-        ccy = refy * (1.0 - Pcr) + cpy * Pcr
-        ccz = refz * (1.0 - Pcr) + cpz * Pcr
-        # refract(D, N, eta) with TIR -> zero vector (core/math.refract)
-        kk = 1.0 - eta * eta * (1.0 - dn * dn)
-        tir2 = kk < 0.0
-        ksq = jnp.sqrt(jnp.maximum(kk, 0.0))
-        rfx = eta * dx - (eta * dn + ksq) * nx
-        rfy = eta * dy - (eta * dn + ksq) * ny
-        rfz = eta * dz - (eta * dn + ksq) * nz
-        rfx = jnp.where(tir2, f0, rfx)
-        rfy = jnp.where(tir2, f0, rfy)
-        rfz = jnp.where(tir2, f0, rfz)
+        if gate_ss:
+            csx = lsx + nx
+            csy = lsy + ny
+            csz = lsz + nz
+            csm = jnp.sqrt(csx * csx + csy * csy + csz * csz)
+            csx, csy, csz = csx / csm, csy / csm, csz / csm
+        if gate_cc:
+            # clearcoat = mix(reflect, cosine, Pcr) (frag.glsl:779)
+            ccx = refx * (1.0 - Pcr) + cpx * Pcr
+            ccy = refy * (1.0 - Pcr) + cpy * Pcr
+            ccz = refz * (1.0 - Pcr) + cpz * Pcr
+        if gate_trans:
+            # refract(D, N, eta), TIR -> zero vector (core/math.refract)
+            kk = 1.0 - eta * eta * (1.0 - dn * dn)
+            tir2 = kk < 0.0
+            ksq = jnp.sqrt(jnp.maximum(kk, 0.0))
+            rfx = eta * dx - (eta * dn + ksq) * nx
+            rfy = eta * dy - (eta * dn + ksq) * ny
+            rfz = eta * dz - (eta * dn + ksq) * nz
+            rfx = jnp.where(tir2, f0, rfx)
+            rfy = jnp.where(tir2, f0, rfy)
+            rfz = jnp.where(tir2, f0, rfz)
 
         t1 = rw
-        t2 = t1 + cw
-        t3 = t2 + tw
+        t2 = t1 + cw if gate_cc else t1
+        t3 = t2 + tw if gate_trans else t2
         is_reflect = roll < t1
-        is_cc = (~is_reflect) & (roll < t2)
-        is_tr = (~is_reflect) & (~is_cc) & (roll < t3)
+        f_false = jnp.zeros(shape, bool)
+        is_cc = ((~is_reflect) & (roll < t2)) if gate_cc else f_false
+        is_tr = ((~is_reflect) & (~is_cc) & (roll < t3)) if gate_trans \
+            else f_false
         is_else = ~(is_reflect | is_cc | is_tr)
-        has_ss = subsurface > 0.0
-        is_sub = is_else & has_ss & (sub_roll < subsurface)
-
-        elx = jnp.where(has_ss, csx, cpx)
-        ely = jnp.where(has_ss, csy, cpy)
-        elz = jnp.where(has_ss, csz, cpz)
+        if gate_ss:
+            has_ss = subsurface > 0.0
+            is_sub = is_else & has_ss & (sub_roll < subsurface)
+            elx = jnp.where(has_ss, csx, cpx)
+            ely = jnp.where(has_ss, csy, cpy)
+            elz = jnp.where(has_ss, csz, cpz)
+        else:
+            is_sub = f_false
+            elx, ely, elz = cpx, cpy, cpz
 
         win = jnp.where(
             is_reflect, 1,
             jnp.where(is_cc, 2,
                       jnp.where(is_tr, 3,
                                 jnp.where(is_sub, 4, 0)))).astype(jnp.int32)
-        ndx = jnp.where(is_reflect, refx,
-                        jnp.where(is_cc, ccx, jnp.where(is_tr, rfx, elx)))
-        ndy = jnp.where(is_reflect, refy,
-                        jnp.where(is_cc, ccy, jnp.where(is_tr, rfy, ely)))
-        ndz = jnp.where(is_reflect, refz,
-                        jnp.where(is_cc, ccz, jnp.where(is_tr, rfz, elz)))
+        ndx = jnp.where(is_reflect, refx, elx)
+        ndy = jnp.where(is_reflect, refy, ely)
+        ndz = jnp.where(is_reflect, refz, elz)
+        if gate_cc:
+            ndx = jnp.where(is_cc, ccx, ndx)
+            ndy = jnp.where(is_cc, ccy, ndy)
+            ndz = jnp.where(is_cc, ccz, ndz)
+        if gate_trans:
+            ndx = jnp.where(is_tr, rfx, ndx)
+            ndy = jnp.where(is_tr, rfy, ndy)
+            ndz = jnp.where(is_tr, rfz, ndz)
 
         # consumed draws: transmission 1, diffuse-with-subsurface 8, else 7
-        st1 = _advance(state, 1)
         st7 = _advance(state, 7)
-        st8 = _advance(state, 8)
-        new_state = jnp.where(is_tr, st1,
-                              jnp.where(is_else & has_ss, st8, st7))
+        new_state = st7
+        if gate_ss:
+            st8 = _advance(state, 8)
+            new_state = jnp.where(is_else & has_ss, st8, new_state)
+        if gate_trans:
+            st1 = _advance(state, 1)
+            new_state = jnp.where(is_tr, st1, new_state)
 
         # ---- transport (frag.glsl:847-874) --------------------------------
-        transmitted = win == 3
-        ddx = ex - hx
-        ddy = ey - hy
-        ddz = ez - hz
-        dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-        # where(entering, in_object, True) as pure boolean algebra (a bool
-        # scalar inside jnp.where fails Mosaic's i1 broadcast)
-        apply_absorb = transmitted & ((~entering) | (inobj > 0))
-        new_inobj = jnp.where(transmitted, entering.astype(jnp.int32), inobj)
-        enter_now = transmitted & entering
-        nex = jnp.where(enter_now, hx, ex)
-        ney = jnp.where(enter_now, hy, ey)
-        nez = jnp.where(enter_now, hz, ez)
+        if gate_trans:
+            transmitted = win == 3
+            ddx = ex - hx
+            ddy = ey - hy
+            ddz = ez - hz
+            dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+            # where(entering, in_object, True) as pure boolean algebra (a
+            # bool scalar inside jnp.where fails Mosaic's i1 broadcast)
+            apply_absorb = transmitted & ((~entering) | (inobj > 0))
+            new_inobj = jnp.where(transmitted, entering.astype(jnp.int32),
+                                  inobj)
+            enter_now = transmitted & entering
+            nex = jnp.where(enter_now, hx, ex)
+            ney = jnp.where(enter_now, hy, ey)
+            nez = jnp.where(enter_now, hz, ez)
+        else:
+            new_inobj = inobj
+            nex, ney, nez = ex, ey, ez
 
         hitf = is_hit
-        ir = ir + jnp.where(hitf, Ker * cr, f0)
-        ig = ig + jnp.where(hitf, Keg * cg, f0)
-        ib = ib + jnp.where(hitf, Keb * cb, f0)
+        if gate_emit:
+            ir = ir + jnp.where(hitf, Ker * cr, f0)
+            ig = ig + jnp.where(hitf, Keg * cg, f0)
+            ib = ib + jnp.where(hitf, Keb * cb, f0)
         cutoff = jnp.sqrt(cr * cr + cg * cg + cb * cb) < 0.1  # frag.glsl:866
-        abr = cr * jnp.exp(-Tfr * dist * Density)
-        abg = cg * jnp.exp(-Tfg * dist * Density)
-        abb = cb * jnp.exp(-Tfb * dist * Density)
-        spec = win == 2
-        kkr = jnp.where(spec, Ksr, Kdr)
-        kkg = jnp.where(spec, Ksg, Kdg)
-        kkb = jnp.where(spec, Ksb, Kdb)
-        passthrough = win == 4
-        ncr = jnp.where(apply_absorb, abr,
-                        jnp.where(passthrough, cr, cr * kkr))
-        ncg = jnp.where(apply_absorb, abg,
-                        jnp.where(passthrough, cg, cg * kkg))
-        ncb = jnp.where(apply_absorb, abb,
-                        jnp.where(passthrough, cb, cb * kkb))
+        if gate_cc:
+            spec = win == 2
+            kkr = jnp.where(spec, Ksr, Kdr)
+            kkg = jnp.where(spec, Ksg, Kdg)
+            kkb = jnp.where(spec, Ksb, Kdb)
+        else:
+            kkr, kkg, kkb = Kdr, Kdg, Kdb
+        ncr = cr * kkr
+        ncg = cg * kkg
+        ncb = cb * kkb
+        if gate_ss:
+            passthrough = win == 4
+            ncr = jnp.where(passthrough, cr, ncr)
+            ncg = jnp.where(passthrough, cg, ncg)
+            ncb = jnp.where(passthrough, cb, ncb)
+        if gate_trans:
+            abr = cr * jnp.exp(-Tfr * dist * Density)
+            abg = cg * jnp.exp(-Tfg * dist * Density)
+            abb = cb * jnp.exp(-Tfb * dist * Density)
+            ncr = jnp.where(apply_absorb, abr, ncr)
+            ncg = jnp.where(apply_absorb, abg, ncg)
+            ncb = jnp.where(apply_absorb, abb, ncb)
 
         # ---- miss: record throughput for the deferred sky ----------------
         new_missed = missed | is_miss.astype(jnp.int32)
@@ -711,9 +826,9 @@ def _fused_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_bounces", "leaf_cap", "stack_size", "block_rows",
+    static_argnames=("max_bounces", "stack_size", "block_rows",
                      "ell_rotated", "imp_rotated", "imp_fn_ids",
-                     "march_steps", "bisect_iters", "march_tmax",
+                     "march_steps", "bisect_iters", "march_tmax", "gates",
                      "interpret"),
 )
 def trace_block(
@@ -724,11 +839,11 @@ def trace_block(
     mats,      # (M, 48) f32
     ell_tab,   # (E, 17) f32
     imp_tab,   # (I, 17) f32
-    tris,      # (L, 128) f32 (wavefront rows; L may be 1 when no tris)
-    attr,      # (L, 128) f32
+    tris,      # (Lf, 128) f32 DENSE fused rows (TRI_CAP tris/row);
+               #   1 zero row when the scene has no triangles
+    attr,      # (La, 128) f32 DENSE attr rows (ATTR_CAP slots/row)
     *,
     max_bounces: int,
-    leaf_cap: int,
     stack_size: int,
     block_rows: int,
     ell_rotated: tuple,
@@ -737,6 +852,7 @@ def trace_block(
     march_steps: int = 256,
     bisect_iters: int = 24,
     march_tmax: float = 100.0,
+    gates: tuple = (True, True, True, True, True),
     interpret: bool = False,
 ):
     """One fused megakernel launch over R rays (one sample's megabatch).
@@ -752,10 +868,10 @@ def trace_block(
     shape = (r // LANES, LANES)
     n_rows = tris.shape[0] if tris.shape[0] > 1 else 0
 
+    gate_ss, gate_cc, gate_trans, gate_fresnel, gate_emit = gates
     kern = functools.partial(
         _fused_kernel,
         max_bounces=max_bounces,
-        leaf_cap=leaf_cap,
         n_rows=n_rows,
         n_mats=mats.shape[0],
         n_ell=len(ell_rotated),
@@ -767,6 +883,8 @@ def trace_block(
         march_steps=march_steps,
         bisect_iters=bisect_iters,
         march_tmax=march_tmax,
+        gate_ss=gate_ss, gate_cc=gate_cc, gate_trans=gate_trans,
+        gate_fresnel=gate_fresnel, gate_emit=gate_emit,
     )
     vec3 = pl.BlockSpec((3, block_rows, LANES), lambda i: (0, i, 0))
     vec1 = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0))
@@ -913,11 +1031,11 @@ def _frame_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spp", "max_bounces", "leaf_cap", "stack_size",
+    static_argnames=("spp", "max_bounces", "stack_size",
                      "block_rows", "ell_rotated", "imp_rotated",
                      "imp_fn_ids", "cam_size", "focal_length", "h_ratio",
                      "blur", "march_steps", "bisect_iters", "march_tmax",
-                     "interpret"),
+                     "gates", "interpret"),
 )
 def trace_frame(
     uv2,       # (2, R) f32, R % (block_rows*128) == 0
@@ -928,7 +1046,6 @@ def trace_frame(
     *,
     spp: int,
     max_bounces: int,
-    leaf_cap: int,
     stack_size: int,
     block_rows: int,
     ell_rotated: tuple,
@@ -941,6 +1058,7 @@ def trace_frame(
     march_steps: int = 256,
     bisect_iters: int = 24,
     march_tmax: float = 100.0,
+    gates: tuple = (True, True, True, True, True),
     interpret: bool = False,
 ):
     """All spp samples of a whole frame in ONE kernel launch.
@@ -955,6 +1073,7 @@ def trace_frame(
     shape = (r // LANES, LANES)
     n_rows = tris.shape[0] if tris.shape[0] > 1 else 0
 
+    gate_ss, gate_cc, gate_trans, gate_fresnel, gate_emit = gates
     kern = functools.partial(
         _frame_kernel,
         cam_size=cam_size,
@@ -962,7 +1081,6 @@ def trace_frame(
         h_ratio=h_ratio,
         blur=blur,
         max_bounces=max_bounces,
-        leaf_cap=leaf_cap,
         n_rows=n_rows,
         n_mats=mats.shape[0],
         n_ell=len(ell_rotated),
@@ -974,6 +1092,8 @@ def trace_frame(
         march_steps=march_steps,
         bisect_iters=bisect_iters,
         march_tmax=march_tmax,
+        gate_ss=gate_ss, gate_cc=gate_cc, gate_trans=gate_trans,
+        gate_fresnel=gate_fresnel, gate_emit=gate_emit,
     )
     vec2 = pl.BlockSpec((2, block_rows, LANES), lambda b, s: (0, b, 0))
     vec1 = pl.BlockSpec((block_rows, LANES), lambda b, s: (b, 0))
@@ -1016,10 +1136,8 @@ def trace_frame(
 
 def eligible(info, scene, params) -> bool:
     """Static gate for the fused megakernel path (integrator.trace):
-    VMEM-resident brute-row forest (or analytic-only), no texture maps in
-    play, and a small static material table."""
-    from . import wavefront
-
+    dense fused triangle tables present (or analytic-only scene), no
+    texture maps in play, and a small static material table."""
     if info.streamed:
         return False
     maps_on = params.use_textures and info.has_maps
@@ -1029,11 +1147,8 @@ def eligible(info, scene, params) -> bool:
         return False
     if scene.materials.shape[0] < 1 or scene.materials.shape[0] > 32:
         return False
-    if info.num_objects > 0:
-        if not getattr(info, "fused_ok", False):
-            return False
-        if scene.wf_tris.shape[0] > wavefront.BRUTE_MAX_ROWS:
-            return False
+    if info.num_objects > 0 and not getattr(info, "fused_ok", False):
+        return False
     return True
 
 
@@ -1075,10 +1190,9 @@ def render_fused_frame(scene, info, params, cam_pos, cam_rot, frame_seed,
     inc, mc, dout, _state, rays = trace_frame(
         uv2, alive, seed, scal,
         scene.materials, scene.ell_tab, scene.imp_tab,
-        scene.wf_tris, scene.wf_attr,
+        scene.fs_tris, scene.fs_attr,
         spp=spp,
         max_bounces=params.max_bounces,
-        leaf_cap=max(info.max_leaf_size, 1),
         stack_size=params.refraction_stack,
         block_rows=block_rows,
         ell_rotated=info.ell_rotated[: info.num_ellipsoids],
@@ -1088,6 +1202,7 @@ def render_fused_frame(scene, info, params, cam_pos, cam_rot, frame_seed,
         focal_length=focal_length,
         h_ratio=height / float(width),
         blur=blur,
+        gates=getattr(info, "mat_gates", (True,) * 5),
         interpret=interpret,
     )
     # deferred sky over all (spp, R) miss records in one batched pass,
@@ -1127,14 +1242,14 @@ def trace_fused(origins, directions, state, scene, info, params,
     inc, mc, dout, sout, rays = trace_block(
         o3, d3, alive, st,
         scene.materials, scene.ell_tab, scene.imp_tab,
-        scene.wf_tris, scene.wf_attr,
+        scene.fs_tris, scene.fs_attr,
         max_bounces=params.max_bounces,
-        leaf_cap=max(info.max_leaf_size, 1),
         stack_size=params.refraction_stack,
         block_rows=block_rows,
         ell_rotated=info.ell_rotated[: info.num_ellipsoids],
         imp_rotated=info.imp_rotated[: info.num_implicits],
         imp_fn_ids=info.imp_fn_ids[: info.num_implicits],
+        gates=getattr(info, "mat_gates", (True,) * 5),
         interpret=interpret,
     )
     inc = inc.T[:B]

@@ -407,16 +407,19 @@ def _morton_spread(v):  # standard 10-bit Morton spread masks
     return v
 
 
-def _spatial_sort_key(o, d, scene_lo, scene_hi, o_bits: int = 6,
+def _spatial_sort_key(o, d, scene_lo, scene_hi, o_bits: int = 5,
                       d_bits: int = 4):
-    """Ray-coherence sort key: Morton code of the quantized ORIGIN in the
-    high bits, Morton code of the (normalized) DIRECTION in the low bits.
+    """Ray-coherence sort key, OCTANT-major: the 3 direction-sign bits
+    lead, then origin Morton, then fine direction Morton.
 
-    The direction bits matter even for primary rays: camera rays share one
-    origin, so an origin-only key degenerates to image order — full-width
-    scanline slabs whose packet frustum crosses the whole scene. Direction
-    Morton clusters them into compact square-ish tiles instead (measured
-    ~2x fewer leaf-row visits per block on the 1M-tri terrain)."""
+    Octant purity is load-bearing for the streamed kernel's scalar frustum
+    gating (kernels/wavefront._streamed_kernel): a block whose directions
+    mix signs on an axis gets NO frustum constraint on that axis, and
+    bounce batches sorted origin-first degenerated to brute-testing the
+    whole scene (measured 15x worse than primary blocks on the 1M-tri
+    terrain). Within one octant the origin Morton bits still cluster
+    origins, and the fine direction bits tile shared-origin primary rays
+    into compact square-ish footprints rather than image scanlines."""
     span = jnp.maximum(scene_hi - scene_lo, 1e-6)
     qo = jnp.clip(
         ((o - scene_lo) / span * (2 ** o_bits - 1)).astype(jnp.int32),
@@ -428,15 +431,20 @@ def _spatial_sort_key(o, d, scene_lo, scene_hi, o_bits: int = 6,
         ((dn * 0.5 + 0.5) * (2 ** d_bits - 1)).astype(jnp.int32),
         0, 2 ** d_bits - 1,
     )
+    octant = (
+        ((d[:, 0] >= 0).astype(jnp.int32) << 2)
+        | ((d[:, 1] >= 0).astype(jnp.int32) << 1)
+        | (d[:, 2] >= 0).astype(jnp.int32)
+    )
     m_o = ((_morton_spread(qo[:, 0]) << 2)
            | (_morton_spread(qo[:, 1]) << 1) | _morton_spread(qo[:, 2]))
     m_d = ((_morton_spread(qd[:, 0]) << 2)
            | (_morton_spread(qd[:, 1]) << 1) | _morton_spread(qd[:, 2]))
-    return (m_o << (3 * d_bits)) | m_d
+    return (octant << (3 * (o_bits + d_bits))) | (m_o << (3 * d_bits)) | m_d
 
 
 def _ray_scene_streamed(origins, directions, scene, info, active,
-                        interpret: bool, block_rows: int = 32,
+                        interpret: bool, block_rows: int = 8,
                         sort_rays: bool = True):
     """Scene query through the HBM-streamed LBVH kernel
     (kernels/wavefront.trace_streamed) + batched analytic merge. Streamed
@@ -446,7 +454,13 @@ def _ray_scene_streamed(origins, directions, scene, info, active,
     sort_rays defaults ON here (unlike the VMEM-resident paths): at
     millions of triangles an incoherent block's any-hit gating degrades to
     visiting most treelets, so the argsort+scatter cost is repaid many
-    times over by spatially clustered packets."""
+    times over by spatially clustered packets.
+
+    block_rows defaults to 8 here (one (8, 128) vreg per vector op, 1024
+    rays): the streamed kernel's traversal decisions are scalar frustum
+    tests, so SMALL blocks cost no extra syncs while making the frustum
+    ~4x tighter and every row test 4x narrower than the 32-row blocks the
+    VMEM-resident paths use."""
     from . import wavefront
 
     o = origins + jnp.float32(1e-4) * directions  # frag.glsl:549
@@ -468,8 +482,20 @@ def _ray_scene_streamed(origins, directions, scene, info, active,
         key = _spatial_sort_key(
             o, directions, scene.st_top[0, 0:3], scene.st_top[0, 3:6]
         )
-        # dead lanes sort to the back so live packets stay dense
-        key = jnp.where(t_init > 0.0, key, jnp.int32(2 ** 30))
+        # rays that miss the ROOT AABB cannot hit anything: sort them back
+        # with the dead lanes so live blocks stay geometrically tight (the
+        # kernel's per-block frustum is a hull over the block's rays)
+        lo = scene.st_top[0, 0:3]
+        hi = scene.st_top[0, 3:6]
+        inv = intersect.safe_inv_dir(directions)
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        root_hit = (t_far >= t_near) & (t_far > 0.0)
+        key = jnp.where(root_hit, key, jnp.int32(2 ** 30))
+        # dead lanes sort to the very back so live packets stay dense
+        key = jnp.where(t_init > 0.0, key, jnp.int32(2 ** 30 + 1))
         order = jnp.argsort(key, stable=True)
         o_in = o[order]
         d_in = directions[order]

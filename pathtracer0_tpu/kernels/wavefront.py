@@ -165,7 +165,6 @@ def _streamed_kernel(
     bt_ref,         # out (1, 1) i32 SMEM: AABB tests (top + subtree)
     lf_ref,         # out (1, 1) i32 SMEM: triangle-row visits
     stack_ref,      # SMEM (STACK_DEPTH,) i32: top-tree stack
-    substack_ref,   # SMEM (STACK_DEPTH,) i32: within-treelet stack
     scratch_ref,    # VMEM (2, treelet_rows, 128) f32 DMA landing buffers
     sub_scratch_ref,  # VMEM (2, treelet_rows, 128) f32 subtree landing
     sem_ref,        # DMA semaphores (2, 2): [slot, rows/subtree]
@@ -174,33 +173,38 @@ def _streamed_kernel(
     treelet_rows: int,
     leaf_cap: int,
 ):
-    """HBM-streamed two-level packet traversal (accel/lbvh.py layout).
+    """HBM-streamed two-level traversal with SCALAR frustum gating.
+
+    Round-2 profiling (PERF.md) showed this kernel sync-bound: every
+    internal-node visit issued one vector->scalar reduction (~1-2 us) to
+    decide the walk, serializing the whole loop — 0.18 Mrays/s at 1M tris.
+    This version makes every traversal DECISION pure scalar-unit work:
+
+      * ONCE per block, 12 masked vector reductions capture the block's
+        ray bounds (origin box + per-axis direction range + sign purity)
+        — the only vector->scalar syncs in the whole walk, plus one
+        optional closest-t refresh per retired treelet;
+      * every node test is a conservative INTERVAL slab test of the node
+        AABB against those scalar bounds (~30 scalar ops, no vector work
+        at all): axes where the block's directions share a sign give real
+        frustum culling; mixed-sign axes contribute no constraint.
+        Dead-padded blocks produce an empty frustum and visit nothing.
+      * rays sorted by origin-Morton + direction octant (traverse.py
+        enables sort_rays for streamed scenes) keep blocks sign-pure, so
+        the conservative test stays tight in practice;
+      * the VPU only ever runs Moller-Trumbore row tests for row GROUPS
+        whose AABB passes the scalar gate — per-ray closest-t pruning
+        happens inside the row test as before.
 
     The top of one implicit complete binary tree (children of heap node i
     are 2i+1/2i+2 — no child-pointer loads at all) lives in VMEM down to
     treelet granularity; a treelet is `treelet_rows` consecutive packed
-    triangle rows in HBM plus its own complete-subtree AABBs, DMA'd into
-    double-buffered VMEM scratch on first use. Inside a treelet the SAME
-    stack walk continues over the DMA'd subtree, so only rows whose AABB
-    beats a ray's closest-t pay the (14-triangle) row test — brute-testing
-    whole treelets cost ~50x more on a 1M-triangle scene.
-
-    Double buffering: when a treelet is popped, its two DMAs start; the
-    previous treelet is walked while the copies are in flight.
+    triangle rows in HBM plus its own group AABBs, DMA'd into
+    double-buffered VMEM scratch when popped — the previous treelet is
+    retired while the copies are in flight.
     """
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
-    # finite reciprocals: a zero direction component + a node plane on the
-    # ray makes 0 * inf = NaN and drops the subtree (see
-    # intersect.safe_inv_dir)
-    def _inv(d):
-        return jnp.clip(
-            1.0 / jnp.where(d == 0.0, jnp.float32(1e-30), d), -1e30, 1e30
-        )
-
-    inv_dx = _inv(dx)
-    inv_dy = _inv(dy)
-    inv_dz = _inv(dz)
 
     t_ref[...] = tin_ref[...]
     u_ref[...] = jnp.zeros_like(u_ref)
@@ -212,27 +216,103 @@ def _streamed_kernel(
 
     stack_ref[0] = 0
 
-    sgn_x = jnp.sum(dx) >= 0.0
-    sgn_y = jnp.sum(dy) >= 0.0
-    sgn_z = jnp.sum(dz) >= 0.0
+    # ---- per-ray root-slab ceiling + block ray bounds --------------------
+    # (the only vector->scalar syncs in the walk)
+    livev = tin_ref[...] > 0.0
+    BIG = jnp.float32(3e38)
 
-    def entry_dist(node):
-        tx1 = (top_ref[node, 0] - ox) * inv_dx
-        tx2 = (top_ref[node, 3] - ox) * inv_dx
-        ty1 = (top_ref[node, 1] - oy) * inv_dy
-        ty2 = (top_ref[node, 4] - oy) * inv_dy
-        tz1 = (top_ref[node, 2] - oz) * inv_dz
-        tz2 = (top_ref[node, 5] - oz) * inv_dz
-        t_near = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
-            jnp.minimum(tz1, tz2),
+    def _inv(d):
+        return jnp.clip(
+            1.0 / jnp.where(d == 0.0, jnp.float32(1e-30), d), -1e30, 1e30
         )
-        t_far = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
-            jnp.maximum(tz1, tz2),
-        )
-        hit = (t_far >= t_near) & (t_far > 0.0)
-        return jnp.where(hit, jnp.maximum(t_near, 0.0), MISS)
+
+    inv_dx = _inv(dx)
+    inv_dy = _inv(dy)
+    inv_dz = _inv(dz)
+    rx1 = (top_ref[0, 0] - ox) * inv_dx
+    rx2 = (top_ref[0, 3] - ox) * inv_dx
+    ry1 = (top_ref[0, 1] - oy) * inv_dy
+    ry2 = (top_ref[0, 4] - oy) * inv_dy
+    rz1 = (top_ref[0, 2] - oz) * inv_dz
+    rz2 = (top_ref[0, 5] - oz) * inv_dz
+    root_near = jnp.maximum(
+        jnp.maximum(jnp.minimum(rx1, rx2), jnp.minimum(ry1, ry2)),
+        jnp.minimum(rz1, rz2))
+    root_far = jnp.minimum(
+        jnp.minimum(jnp.maximum(rx1, rx2), jnp.maximum(ry1, ry2)),
+        jnp.maximum(rz1, rz2))
+    # A ray's hits all lie inside the ROOT AABB, so its root-slab exit
+    # bounds any useful entry distance; rays that miss the root entirely
+    # (sky) are excluded from the BLOCK BOUNDS too — one grazing or
+    # sky-bound lane would otherwise blow the frustum hull wide open.
+    root_ok = (root_far >= root_near) & (root_far > 0.0) & livev
+    gate_ceiling = jnp.where(root_ok, root_far * jnp.float32(1.0001),
+                             jnp.float32(0.0))
+
+    def block_tmax():
+        return jnp.max(jnp.minimum(t_ref[...], gate_ceiling))
+
+    def _mn(v):
+        return jnp.min(jnp.where(root_ok, v, BIG))
+
+    def _mx(v):
+        return jnp.max(jnp.where(root_ok, v, -BIG))
+
+    om_lo_x, om_hi_x = _mn(ox), _mx(ox)
+    om_lo_y, om_hi_y = _mn(oy), _mx(oy)
+    om_lo_z, om_hi_z = _mn(oz), _mx(oz)
+    d_lo_x, d_hi_x = _mn(dx), _mx(dx)
+    d_lo_y, d_hi_y = _mn(dy), _mx(dy)
+    d_lo_z, d_hi_z = _mn(dz), _mx(dz)
+
+    def axis_consts(d_lo, d_hi, o_lo, o_hi):
+        """Per-axis scalars for the interval slab test, mapped to a
+        positive-direction frame (negative-pure axes mirror)."""
+        pos = d_lo >= 0.0
+        neg = d_hi <= 0.0
+        mixed = jnp.logical_not(jnp.logical_or(pos, neg))
+        # mirrored origin bounds: x' = -x for negative-pure axes
+        m_lo = jnp.where(neg, -o_hi, o_lo)
+        m_hi = jnp.where(neg, -o_lo, o_hi)
+        # |d| range in the positive frame (clamped away from 0)
+        ad_lo = jnp.maximum(jnp.where(neg, -d_hi, d_lo), jnp.float32(1e-30))
+        ad_hi = jnp.maximum(jnp.where(neg, -d_lo, d_hi), jnp.float32(1e-30))
+        iv_lo = 1.0 / ad_hi   # smallest possible 1/|d|
+        iv_hi = 1.0 / ad_lo   # largest possible 1/|d|
+        return pos, neg, mixed, m_lo, m_hi, iv_lo, iv_hi
+
+    ax_x = axis_consts(d_lo_x, d_hi_x, om_lo_x, om_hi_x)
+    ax_y = axis_consts(d_lo_y, d_hi_y, om_lo_y, om_hi_y)
+    ax_z = axis_consts(d_lo_z, d_hi_z, om_lo_z, om_hi_z)
+
+    def axis_interval(ax, lo_w, hi_w):
+        """Conservative [min possible entry, max possible exit] of the
+        world-space slab [lo_w, hi_w] over every ray in the block."""
+        pos, neg, mixed, m_lo, m_hi, iv_lo, iv_hi = ax
+        s_lo = jnp.where(neg, -hi_w, lo_w)
+        s_hi = jnp.where(neg, -lo_w, hi_w)
+        vmin = s_lo - m_hi
+        emin = vmin * jnp.where(vmin >= 0.0, iv_lo, iv_hi)
+        wmax = s_hi - m_lo
+        xmax = wmax * jnp.where(wmax >= 0.0, iv_hi, iv_lo)
+        emin = jnp.where(mixed, jnp.float32(0.0), jnp.maximum(emin, 0.0))
+        xmax = jnp.where(mixed, BIG, xmax)
+        return emin, xmax
+
+    def frustum_hit(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, tmax):
+        """Scalar conservative block-vs-AABB test: may ANY ray in the
+        block hit the box before the block's worst closest-t?"""
+        ex, xx = axis_interval(ax_x, lo_x, hi_x)
+        ey, xy = axis_interval(ax_y, lo_y, hi_y)
+        ez, xz = axis_interval(ax_z, lo_z, hi_z)
+        t_lo = jnp.maximum(jnp.maximum(ex, ey), ez)
+        t_hi = jnp.minimum(jnp.minimum(xx, xy), xz)
+        return (t_hi >= t_lo) & (t_hi > 0.0) & (t_lo < tmax)
+
+    def top_hit(node, tmax):
+        return frustum_hit(
+            top_ref[node, 0], top_ref[node, 1], top_ref[node, 2],
+            top_ref[node, 3], top_ref[node, 4], top_ref[node, 5], tmax)
 
     n_groups = treelet_rows // SUB_GROUP_ROWS
     sub_stride = 2 * n_groups
@@ -251,7 +331,8 @@ def _streamed_kernel(
         )
         return rows, sub
 
-    def sub_entry_dist(slot, node):
+    def sub_entry_vec(slot, node):
+        """Per-ray slab entry distance of one group AABB (vector)."""
         tx1 = (sub_scratch_ref[slot, node, 0] - ox) * inv_dx
         tx2 = (sub_scratch_ref[slot, node, 3] - ox) * inv_dx
         ty1 = (sub_scratch_ref[slot, node, 1] - oy) * inv_dy
@@ -260,12 +341,10 @@ def _streamed_kernel(
         tz2 = (sub_scratch_ref[slot, node, 5] - oz) * inv_dz
         t_near = jnp.maximum(
             jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
-            jnp.minimum(tz1, tz2),
-        )
+            jnp.minimum(tz1, tz2))
         t_far = jnp.minimum(
             jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
-            jnp.maximum(tz1, tz2),
-        )
+            jnp.maximum(tz1, tz2))
         hit = (t_far >= t_near) & (t_far > 0.0)
         return jnp.where(hit, jnp.maximum(t_near, 0.0), MISS)
 
@@ -313,92 +392,83 @@ def _streamed_kernel(
                 ok, (row0 + row) * leaf_cap + j, idx_ref[...]
             )
 
-    def test_treelet(t_id, slot):
-        """Walk one DMA'd treelet's complete subtree (leaves = groups of
-        SUB_GROUP_ROWS rows — each internal node costs one serializing
-        vector->scalar sync, so leaves are coarse); only groups whose AABB
-        beats some ray's closest-t pay row tests."""
-        substack_ref[0] = 0  # local heap root
+    def test_treelet(t_id, slot, tmax):
+        """Retire one DMA'd treelet with PER-RAY group gating at the cost
+        of ONE vector->scalar sync: every group AABB is slab-tested against
+        every ray's current closest-t (clamped by its root-slab ceiling),
+        the 16 per-ray want-bits pack into one i32 lane mask, and an
+        OR-tree (sublane halving + lane rotates) collapses them so a single
+        scalar read yields the group bitmask — per-ray closest-t pruning
+        without the per-node reduction syncs that serialized round 2."""
+        t_cur = jnp.minimum(t_ref[...], gate_ceiling)
+        bits_v = jnp.zeros_like(idx_ref)
+        for g in range(n_groups):  # static unroll: ~22 vector ops/group
+            enter = sub_entry_vec(slot, n_groups - 1 + g)
+            bits_v = bits_v | ((enter < t_cur).astype(jnp.int32) << g)
+        bt_ref[gi, 0] = bt_ref[gi, 0] + n_groups
+        b = bits_v
+        rs = b.shape[0]
+        while rs > 1:
+            h = rs // 2
+            b = b[:h] | b[h:rs]
+            rs = h
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            b = b | pltpu.roll(b, sh, 1)
+        bits = jnp.max(b)  # all lanes equal after the OR-tree
 
-        def scond(ssp):
-            return ssp > 0
-
-        def sbody(ssp):
-            k = substack_ref[ssp - 1]
-            ssp = ssp - 1
-            is_row = k >= (n_groups - 1)
-
-            def row_fn(ssp, k):
-                g = k - (n_groups - 1)
+        def gbody(g, _):
+            @pl.when(((bits >> g) & 1) > 0)
+            def _():
                 for dr in range(SUB_GROUP_ROWS):
                     test_row(t_id, slot, SUB_GROUP_ROWS * g + dr)
                 lf_ref[gi, 0] = lf_ref[gi, 0] + SUB_GROUP_ROWS
-                return ssp
 
-            def inner_fn(ssp, k):
-                left = 2 * k + 1
-                right = 2 * k + 2
-                bt_ref[gi, 0] = bt_ref[gi, 0] + 2
-                enter_l = sub_entry_dist(slot, left)
-                enter_r = sub_entry_dist(slot, right)
-                t_cur = t_ref[...]
-                packed = (enter_l < t_cur).astype(jnp.int32) + (
-                    (enter_r < t_cur).astype(jnp.int32) << 16
-                )
-                s = jnp.sum(packed)
-                hit_l = (s & 0xFFFF) > 0
-                hit_r = s >= (1 << 16)
-                # rows are Morton-ordered; near/far ordering matters less
-                # inside a 64-row treelet — push right then left
-                substack_ref[jnp.minimum(ssp, STACK_DEPTH - 1)] = right
-                ssp1 = ssp + hit_r.astype(jnp.int32)
-                substack_ref[jnp.minimum(ssp1, STACK_DEPTH - 1)] = left
-                return ssp1 + hit_l.astype(jnp.int32)
+            return 0
 
-            return jax.lax.cond(is_row, row_fn, inner_fn, ssp, k)
+        jax.lax.fori_loop(0, n_groups, gbody, 0)
 
-        jax.lax.while_loop(scond, sbody, jnp.int32(1))
+    # block-dominant direction signs for near-first child ordering (scalar)
+    sgn_x = (d_lo_x + d_hi_x) >= 0.0
+    sgn_y = (d_lo_y + d_hi_y) >= 0.0
+    sgn_z = (d_lo_z + d_hi_z) >= 0.0
 
     def internal_fn(carry, node):
-        sp, pend_id, pend_slot = carry
+        sp, pend_id, pend_slot, tmax = carry
         left = 2 * node + 1
         right = 2 * node + 2
         bt_ref[gi, 0] = bt_ref[gi, 0] + 2
-        enter_l = entry_dist(left)
-        enter_r = entry_dist(right)
-        t_cur = t_ref[...]
-        packed = (enter_l < t_cur).astype(jnp.int32) + (
-            (enter_r < t_cur).astype(jnp.int32) << 16
-        )
-        s = jnp.sum(packed)
-        hit_l = (s & 0xFFFF) > 0
-        hit_r = s >= (1 << 16)
+        hit_l = top_hit(left, tmax)
+        hit_r = top_hit(right, tmax)
+        # near-first pop order, all scalar: order children by AABB center
+        # along the axis where they differ most, signed by the block's
+        # dominant direction — retiring near treelets first commits close
+        # hits early, and the per-treelet tmax refresh then culls the far
+        # ones (the closest-t feedback the frustum test needs)
         cdx = (top_ref[left, 0] + top_ref[left, 3]) - (
             top_ref[right, 0] + top_ref[right, 3])
         cdy = (top_ref[left, 1] + top_ref[left, 4]) - (
             top_ref[right, 1] + top_ref[right, 4])
         cdz = (top_ref[left, 2] + top_ref[left, 5]) - (
             top_ref[right, 2] + top_ref[right, 5])
-        ax, ay, az = jnp.abs(cdx), jnp.abs(cdy), jnp.abs(cdz)
-        use_x = (ax >= ay) & (ax >= az)
-        use_y = (~use_x) & (ay >= az)
+        acx, acy, acz = jnp.abs(cdx), jnp.abs(cdy), jnp.abs(cdz)
+        use_x = (acx >= acy) & (acx >= acz)
+        use_y = (~use_x) & (acy >= acz)
         cd = jnp.where(use_x, cdx, jnp.where(use_y, cdy, cdz))
         sgn = jnp.where(use_x, sgn_x, jnp.where(use_y, sgn_y, sgn_z))
         l_near = jnp.where(sgn, cd < 0.0, cd > 0.0)
-        first = jnp.where(l_near, right, left)
-        second = jnp.where(l_near, left, right)
+        first = jnp.where(l_near, right, left)      # far: pushed first
+        second = jnp.where(l_near, left, right)     # near: popped first
         push_first = jnp.where(l_near, hit_r, hit_l)
         push_second = jnp.where(l_near, hit_l, hit_r)
         stack_ref[jnp.minimum(sp, STACK_DEPTH - 1)] = jnp.where(
-            push_first, first, second
-        )
+            push_first, first, second)
         sp1 = sp + push_first.astype(jnp.int32)
         stack_ref[jnp.minimum(sp1, STACK_DEPTH - 1)] = second
         sp2 = sp1 + push_second.astype(jnp.int32)
-        return sp2, pend_id, pend_slot
+        return sp2, pend_id, pend_slot, tmax
 
     def treelet_fn(carry, node):
-        sp, pend_id, pend_slot = carry
+        sp, pend_id, pend_slot, tmax = carry
         t_id = node - (n_treelets - 1)
         new_slot = 1 - pend_slot
         rows, sub = start_dmas(t_id, new_slot)
@@ -411,38 +481,42 @@ def _streamed_kernel(
             prows, psub = start_dmas(pend_id, pend_slot)
             prows.wait()
             psub.wait()
-            test_treelet(pend_id, pend_slot)
+            test_treelet(pend_id, pend_slot, tmax)
 
-        return sp, t_id, new_slot
+        # refresh the block's worst gate-t after each retired treelet
+        # (ONE sync; Morton-front-to-back order shrinks it early, pruning
+        # later subtrees — the "persistent closest-t" lever of PERF.md)
+        new_tmax = jnp.where(pend_id >= 0, block_tmax(), tmax)
+        return sp, t_id, new_slot, new_tmax
 
     def cond(carry):
-        sp, pend_id, _ = carry
+        sp, pend_id, _, _ = carry
         return (sp > 0) | (pend_id >= 0)
 
     def body(carry):
-        sp, pend_id, pend_slot = carry
+        sp, pend_id, pend_slot, tmax = carry
 
         def drain(c):
-            sp, pid, slot = c
+            sp, pid, slot, tmax = c
             prows, psub = start_dmas(pid, slot)
             prows.wait()
             psub.wait()
-            test_treelet(pid, slot)
-            return sp, jnp.int32(-1), slot
+            test_treelet(pid, slot, tmax)
+            return sp, jnp.int32(-1), slot, tmax
 
         def step(c):
-            sp, pid, slot = c
+            sp, pid, slot, tmax = c
             node = stack_ref[sp - 1]
             is_treelet = node >= (n_treelets - 1)
             return jax.lax.cond(
                 is_treelet, treelet_fn, internal_fn,
-                (sp - 1, pid, slot), node,
+                (sp - 1, pid, slot, tmax), node,
             )
 
         return jax.lax.cond(sp == 0, drain, step, carry)
 
     jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(-1),
-                                    jnp.int32(0)))
+                                    jnp.int32(0), block_tmax()))
 
 
 def _traverse_kernel(
@@ -811,7 +885,6 @@ def trace_streamed(
             jax.ShapeDtypeStruct((grid[0], 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
             pltpu.VMEM((2, treelet_rows, LANES), jnp.float32),
             pltpu.VMEM((2, 2 * (treelet_rows // SUB_GROUP_ROWS), LANES),

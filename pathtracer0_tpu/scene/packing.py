@@ -77,7 +77,14 @@ class DeviceScene(NamedTuple):
     # normals replicated into all three slots so barycentric interp
     # reproduces them exactly), and per-primitive scalar tables with
     # host-precomputed rotation matrices.
-    wf_attr: jax.Array     # (L, 128) f32
+    # Dense fused tables (kernels/fused.py): triangles at TRI_CAP=14/row
+    # and attributes at ATTR_CAP=12/row, both in leaf order — densities are
+    # independent because the kernel resolves attributes by committed
+    # triangle id AFTER the intersection loop (not at commit time), so the
+    # two tables need not share row alignment. Built for scenes up to
+    # FUSED_MAX_TRIS; a 1-row zero placeholder otherwise.
+    fs_tris: jax.Array     # (Lf, 128) f32
+    fs_attr: jax.Array     # (La, 128) f32
     ell_tab: jax.Array     # (E, 17) f32: c(3), stretch(3), rad, mat, R(9)
     imp_tab: jax.Array     # (I, 17) f32: shift(3), scale(3), pad, mat, R(9)
 
@@ -152,7 +159,27 @@ def pack_scene(scene, config: RenderConfig,
     v2 = field("v2", 3)
     v3 = field("v3", 3)
 
-    streamed = n_tri > config.stream_threshold
+    # Streaming policy (VERDICT r2 weak #3 — close the fallback cliff):
+    # stream when past the size threshold, AND ALSO whenever a mid-size
+    # scene would fail the wavefront-packet gates (too many object roots,
+    # or estimated tables past the VMEM budget) while being too big for
+    # the fused-brute kernel — those scenes used to land silently on the
+    # ~0.1 Mrays/s vmapped XLA path.
+    from ..kernels.fused import FUSED_MAX_TRIS
+    from ..kernels.wavefront import MAX_ROOTS as _MAX_ROOTS
+
+    _eff_leaf = max_leaf if max_leaf is not None else config.max_tris_in_leaf
+    _leaves_est = -(-n_tri // max(min(_eff_leaf, 14), 1))
+    # nodes ~= 2 * leaves; nodes_f/nodes_i rows pad their lanes to full
+    # 128-lane tiles in VMEM, tri rows are 128 lanes wide already
+    _wf_vmem_est = 2 * _leaves_est * 2 * 128 * 4 + _leaves_est * 512
+    _wf_would_fail = (
+        len(object_ranges) > _MAX_ROOTS
+        or _eff_leaf > 14
+        or _wf_vmem_est > 8 * 1024 * 1024
+    )
+    streamed = n_tri > config.stream_threshold or (
+        n_tri > FUSED_MAX_TRIS and _wf_would_fail)
     empty_forest = bvh_mod.BVHArrays(
         node_min=np.zeros((0, 3), np.float32),
         node_max=np.zeros((0, 3), np.float32),
@@ -233,30 +260,38 @@ def pack_scene(scene, config: RenderConfig,
     wf_roots[0] = n_roots
     wf_roots[1:1 + n_roots] = forest.roots[:n_roots]
 
-    # ---- fused-megakernel attribute rows (kernels/fused.py) ---------------
-    # 10 floats per slot -> needs leaf_cap <= 12; rows align with wf_tris.
-    from ..kernels.fused import ATTR_STRIDE
+    # ---- dense fused-megakernel tables (kernels/fused.py) -----------------
+    from ..kernels.fused import TRI_CAP, ATTR_CAP, FUSED_MAX_TRIS
 
-    fused_feasible = wf_feasible and leaf_cap * ATTR_STRIDE <= 128
-    wf_attr = np.zeros((n_leaves if fused_feasible else 1, 128), np.float32)
-    if forest.node_min.shape[0] and fused_feasible:
+    fs_dense_ok = (not streamed) and 0 < n_tri <= FUSED_MAX_TRIS \
+        and forest.node_min.shape[0] > 0
+    if fs_dense_ok:
+        order = np.asarray(forest.leaf_tri_indices, np.int64)
         n1_all = field("n1", 3, np.float32)
         n2_all = field("n2", 3, np.float32)
         n3_all = field("n3", 3, np.float32)
         mat_all = field("mat", 0, np.float32)
         smooth_all = field("has_smooth", 0, np.float32)
-        for row, nid in enumerate(leaf_ids):
-            s, e = int(forest.leaf_start[nid]), int(forest.leaf_end[nid])
-            cnt = min(e - s, leaf_cap)
-            ids = forest.leaf_tri_indices[s:s + cnt]
-            for j, tid in enumerate(ids):
-                a = ATTR_STRIDE * j
-                wf_attr[row, a:a + 3] = n1_all[tid]
-                wf_attr[row, a + 3:a + 6] = n2_all[tid]
-                wf_attr[row, a + 6:a + 9] = n3_all[tid]
-                # has_smooth rides the low bit so the kernel can replicate
-                # the exact interp-vs-flat select of surface_sample
-                wf_attr[row, a + 9] = 2.0 * mat_all[tid] + smooth_all[tid]
+        n_fs_rows = -(-len(order) // TRI_CAP)
+        n_fa_rows = -(-len(order) // ATTR_CAP)
+        fs_tris = np.zeros((n_fs_rows, 128), np.float32)
+        fs_attr = np.zeros((n_fa_rows, 128), np.float32)
+        for k, tid in enumerate(order):
+            row, j = divmod(k, TRI_CAP)
+            a = v1[tid]
+            fs_tris[row, 9 * j: 9 * j + 9] = np.concatenate(
+                [a, v2[tid] - a, v3[tid] - a])
+            arow, aj = divmod(k, ATTR_CAP)
+            ab = 10 * aj
+            fs_attr[arow, ab:ab + 3] = n1_all[tid]
+            fs_attr[arow, ab + 3:ab + 6] = n2_all[tid]
+            fs_attr[arow, ab + 6:ab + 9] = n3_all[tid]
+            # has_smooth rides the low bit so the kernel can replicate the
+            # exact interp-vs-flat select of surface_sample
+            fs_attr[arow, ab + 9] = 2.0 * mat_all[tid] + smooth_all[tid]
+    else:
+        fs_tris = np.zeros((1, 128), np.float32)
+        fs_attr = np.zeros((1, 128), np.float32)
 
     # ---- analytic-primitive scalar tables (kernels/fused.py) --------------
     def _rotmat_np(rot):
@@ -335,6 +370,19 @@ def pack_scene(scene, config: RenderConfig,
     has_maps = bool(mats.shape[0]) and bool((mats[:, map_cols] >= 0).any())
     has_normal_maps = bool(mats.shape[0]) and bool((mats[:, 36] >= 0).any())
 
+    # Static material-capability gates for the fused megakernel: a scene
+    # with no subsurface / clearcoat / transmissive / fresnel-illum /
+    # emissive material compiles those whole lobe families away
+    # (kernels/fused._trace_core). Column indices are scene/material.COL.
+    m = mats if mats.shape[0] else np.zeros((1, 48), np.float32)
+    mat_gates = (
+        bool((m[:, 41] > 0).any()),                        # subsurface
+        bool((m[:, 27] > 0).any()),                        # clearcoat Pc
+        bool((m[:, 11] > 0).any() or (m[:, 12:15] > 0).any()),  # Tr / Tf
+        bool(np.isin(m[:, 20], (5.0, 7.0)).any()),         # illum 5 / 7
+        bool((m[:, 16:19] != 0).any()),                    # emission Ke
+    )
+
     # Combined attribute table for one-hot fetch (see DeviceScene.tri_attr)
     n1a = stack3("n1")
     n2a = stack3("n2")
@@ -398,7 +446,8 @@ def pack_scene(scene, config: RenderConfig,
         wf_roots=wf_roots,
         tri_obj=tri_obj,
         tri_attr=tri_attr,
-        wf_attr=wf_attr,
+        fs_tris=fs_tris,
+        fs_attr=fs_attr,
         ell_tab=ell_tab,
         imp_tab=imp_tab,
         st_top=st_top,
@@ -423,11 +472,8 @@ def pack_scene(scene, config: RenderConfig,
             and len(forest.roots) <= MAX_ROOTS
             and wf_vmem <= 8 * 1024 * 1024
         ),
-        fused_ok=(
-            fused_feasible
-            and len(forest.roots) > 0
-            and wf_vmem + wf_attr.nbytes <= 8 * 1024 * 1024
-        ),
+        fused_ok=fs_dense_ok and len(forest.roots) > 0,
+        mat_gates=mat_gates,
         ell_rotated=tuple(ell_rotated),
         imp_rotated=tuple(imp_rotated),
         imp_fn_ids=tuple(imp_fn_ids),
@@ -475,8 +521,11 @@ class StaticSceneInfo(NamedTuple):
     # Wavefront (Pallas) path feasible: forest fits VMEM + root budget
     wf_ok: bool = False
     # Fused megakernel (kernels/fused.py) feasible for the triangle part:
-    # brute-row forest + 10-float attribute rows fit VMEM (leaf_cap <= 12)
+    # dense fs_tris/fs_attr tables built (scene within FUSED_MAX_TRIS)
     fused_ok: bool = False
+    # (has_subsurface, has_clearcoat, has_transmission, has_fresnel_illum,
+    # has_emission) — static lobe-family gates for the fused kernel
+    mat_gates: tuple = (True, True, True, True, True)
     # Per-primitive static metadata for the fused kernel's unrolled loops
     ell_rotated: tuple = ()
     imp_rotated: tuple = ()

@@ -223,7 +223,16 @@ class Scene:
 
     # -- packing -------------------------------------------------------------
     def build(self, config: Optional[RenderConfig] = None,
-              max_leaf: Optional[int] = None):
-        """Returns (DeviceScene pytree, StaticSceneInfo)."""
+              max_leaf: Optional[int] = None, validate: bool = True):
+        """Returns (DeviceScene pytree, StaticSceneInfo).
+
+        validate=True (default) runs cheap structural checks first (scene/
+        validate.py): bad material/texture indices, non-finite geometry,
+        degenerate primitives fail HERE with the entity named, not inside
+        a jitted trace."""
         config = config or RenderConfig()
+        if validate:
+            from .validate import validate_scene
+
+            validate_scene(self)
         return packing.pack_scene(self, config, max_leaf=max_leaf)

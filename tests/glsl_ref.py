@@ -133,6 +133,215 @@ def choose_ray(m: dict, n1, n2, N, D, state):
     return out, 0, state
 
 
+# ---------------------------------------------------------------------------
+# Whole-image oracle: scene query + trace loop + pixel main, transcribed
+# from frag.glsl:548-653 (rayScene, analytic ellipsoids), 810-882 (trace),
+# and 884-913 (main) with sequential draw consumption. Where the repo
+# documents a DELIBERATE deviation from the GLSL (PARITY.md), the oracle
+# follows the documented deviation — those deviations ARE the renderer's
+# spec; everything else is literal.
+# ---------------------------------------------------------------------------
+
+def ray_ellipsoid(o, d, c, r, f, g, h):
+    """frag.glsl:373-384, with the PARITY.md #3 deviation: return the
+    smallest STRICTLY POSITIVE root (the GLSL returns min(t, tAlt) which is
+    negative for rays starting inside — refraction could never exit)."""
+    oc = (o[0] - c[0], o[1] - c[1], o[2] - c[2])
+    a = f * d[0] * d[0] + g * d[1] * d[1] + h * d[2] * d[2]
+    b = 2.0 * (f * oc[0] * d[0] + g * oc[1] * d[1] + h * oc[2] * d[2])
+    C = f * oc[0] ** 2 + g * oc[1] ** 2 + h * oc[2] ** 2 - r * r
+    disc = b * b - 4.0 * a * C
+    if disc <= 0.0:
+        return 1e30
+    sq = math.sqrt(disc)
+    t_hi = (sq - b) / (2.0 * a)
+    t_lo = (-b - sq) / (2.0 * a)
+    t = t_lo if t_lo > 0.0 else t_hi
+    return t if t > 0.0 else 1e30
+
+
+def sample_texture(img, u, v):
+    """GL_LINEAR + GL_REPEAT bilinear sample of an (H, W, 3) array
+    (dispatch.java:351-354 sampler state; texel centers at integer+0.5)."""
+    H, W = img.shape[0], img.shape[1]
+    x = u * W - 0.5
+    y = v * H - 0.5
+    x0 = math.floor(x)
+    y0 = math.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i, x1i = int(x0) % W, (int(x0) + 1) % W
+    y0i, y1i = int(y0) % H, (int(y0) + 1) % H
+    c00 = img[y0i, x0i]
+    c01 = img[y0i, x1i]
+    c10 = img[y1i, x0i]
+    c11 = img[y1i, x1i]
+    top = c00 * (1 - fx) + c01 * fx
+    bot = c10 * (1 - fx) + c11 * fx
+    return tuple(float(v) for v in (top * (1 - fy) + bot * fy))
+
+
+def bg_col(sky_img, d):
+    """frag.glsl:235-242 equirect lookup (asin clamped like the renderer —
+    GLSL leaves out-of-domain asin undefined)."""
+    u = 0.5 + math.atan2(d[2], d[0]) / (2.0 * 3.14159)
+    v = 0.5 - math.asin(max(-1.0, min(1.0, d[1]))) / 3.14159
+    return sample_texture(sky_img, u, v)
+
+
+def ray_scene_ellipsoids(o, d, ells):
+    """frag.glsl:548-631 restricted to unrotated analytic ellipsoids.
+    Returns (closest_t, N, mat, loc) or None on miss."""
+    o = (o[0] + 1e-4 * d[0], o[1] + 1e-4 * d[1], o[2] + 1e-4 * d[2])
+    closest = 1e30
+    N = (0.0, 0.0, 0.0)
+    mat = -1
+    for e in ells:
+        t = ray_ellipsoid(o, d, e["c"], e["r"], *e["stretch"])
+        if t < closest:
+            closest = t
+            mat = e["mat"]
+            hit = (o[0] + t * d[0], o[1] + t * d[1], o[2] + t * d[2])
+            N = _norm((hit[0] - e["c"][0], hit[1] - e["c"][1],
+                       hit[2] - e["c"][2]))
+    if closest < 1e25:
+        loc = (o[0] + closest * d[0], o[1] + closest * d[1],
+               o[2] + closest * d[2])
+        return closest, N, mat, loc
+    return None
+
+
+def trace(o, d, state, ells, mats, sky_img, max_bounces):
+    """frag.glsl:810-882 with sequential draw consumption. mats: list of
+    dicts (see mtl_dict). Returns (incLight 3-tuple, state)."""
+    O, D = tuple(o), tuple(d)
+    col = [1.0, 1.0, 1.0]
+    inc = [0.0, 0.0, 0.0]
+    # refraction-index stack (frag.glsl:136-158): fixed 10-slot array +
+    # size; out-of-size reads see the 0.0 the GLSL zero-init leaves
+    st = [0.0] * 10
+    size = 0
+
+    def add(x):
+        nonlocal size
+        if size < 10:
+            for i in range(size, 0, -1):
+                st[i] = st[i - 1]
+            st[0] = x
+            size += 1
+
+    def rem():
+        nonlocal size
+        if size > 0:
+            for i in range(size - 1):
+                st[i] = st[i + 1]
+            size -= 1
+
+    add(1.0029)
+    ray_in_object = False
+    apply_absorbtion = False
+    distance_traveled = 0.0
+    enter_loc = (0.0, 0.0, 0.0)
+    bounce = 0
+    while bounce < max_bounces:
+        bounce += 1
+        hit = ray_scene_ellipsoids(O, D, ells)
+        if hit is not None:
+            _t, N, mat_i, loc = hit
+            O = loc
+            m = mats[mat_i]
+            ND = _dot(N, D)
+            if ND > 0:
+                N = (-N[0], -N[1], -N[2])
+            if ND < 0:
+                add(m["Ni"])
+                n1, n2 = st[1], st[0]
+            else:
+                n1, n2 = st[0], st[1]
+                rem()
+            out, win, state = choose_ray(m, n1, n2, N, D, state)
+            D = tuple(out)
+            if win == 3:
+                if ND < 0:
+                    if ray_in_object:
+                        distance_traveled = math.dist(enter_loc, O)
+                        apply_absorbtion = True
+                    ray_in_object = True
+                    enter_loc = O
+                else:
+                    ray_in_object = False
+                    distance_traveled = math.dist(enter_loc, O)
+                    apply_absorbtion = True
+            for k in range(3):
+                inc[k] += m["Ke"][k] * col[k]
+            if math.sqrt(_dot(col, col)) < 0.1:
+                return tuple(inc), state
+            if apply_absorbtion:
+                for k in range(3):
+                    col[k] *= math.exp(
+                        -m["Tf"][k] * distance_traveled * m["Density"])
+                apply_absorbtion = False
+            elif win == 4:
+                pass
+            else:
+                kk = m["Ks"] if win == 2 else m["Kd"]
+                for k in range(3):
+                    col[k] *= kk[k]
+        else:
+            bg = bg_col(sky_img, D)
+            for k in range(3):
+                inc[k] += bg[k] * col[k]
+            break
+    return tuple(inc), state
+
+
+def mtl_dict(m):
+    """Material (scene/material.Material) -> the dict trace/choose_ray use."""
+    return dict(
+        Kd=tuple(m.Kd), Ks=tuple(m.Ks), Ke=tuple(m.Ke), Tf=tuple(m.Tf),
+        Tr=float(m.Tr), Ni=float(m.Ni), Density=float(m.Density),
+        illum=int(m.illum), Pm=float(m.Pm), Pr=float(m.Pr),
+        Pc=float(m.Pc), Pcr=float(m.Pcr), subsurface=float(m.subsurface),
+    )
+
+
+def render_image(width, height, spp, frame_seed, cam, rot, ells, mats,
+                 sky_img, max_bounces, cam_size=1.5, focal_length=1.0,
+                 blur=0.0, focal_distance=1.0):
+    """frag.glsl:884-913 (path mode, autofocus off): per-pixel stream
+    seeded index + u_seed, DOF draws consumed every sample, one image
+    (H, W, 3) float64."""
+    import numpy as np
+
+    img = np.zeros((height, width, 3), np.float64)
+    for iy in range(height):
+        for ix in range(width):
+            index = (iy * width + ix + frame_seed) & M32
+            state = index
+            u = (ix + 0.5) / width
+            v = (iy + 0.5) / height
+            direction = rotate(
+                ((u * 2.0 - 1.0) * -1.0 * cam_size,
+                 (v * 2.0 - 1.0) * (height / width) * cam_size,
+                 focal_length), rot)
+            col = np.zeros(3)
+            for _s in range(spp):
+                lamb, state = rand_lambertian(state)
+                oj = tuple(
+                    cam[k] + rotate(
+                        (lamb[0] * blur, lamb[1] * blur, lamb[2] * blur),
+                        rot)[k]
+                    for k in range(3))
+                focal = tuple(cam[k] + direction[k] * focal_distance
+                              for k in range(3))
+                dadj = _norm(tuple(focal[k] - oj[k] for k in range(3)))
+                c, state = trace(oj, dadj, state, ells, mats, sky_img,
+                                 max_bounces)
+                col += np.asarray(c)
+            img[iy, ix] = col / spp
+    return img
+
+
 def rotate(p, rot):
     """GLSL rotate(p, rot) evaluated literally: p * (Mx*My*Mz) with
     column-major mat3 constructors (frag.glsl:244-283)."""

@@ -133,3 +133,48 @@ class TestDistributedRenderer:
         assert dr._count == 0
         dr.step(frame_seed=2)
         assert dr._count == 1
+
+
+class TestMultiHost:
+    """Multi-host skeleton (dist/multihost.py): single-process degradation
+    + the row-slab decomposition it shards frames with."""
+
+    def test_initialize_noop_single_process(self, monkeypatch):
+        from pathtracer0_tpu.dist import multihost
+
+        monkeypatch.delenv("PT0_COORDINATOR", raising=False)
+        assert multihost.initialize() is False
+        pid, n = multihost.process_info()
+        assert (pid, n) == (0, 1)
+
+    def test_local_rows_partition(self):
+        from pathtracer0_tpu.dist import multihost
+
+        start, stop = multihost.local_rows(48)
+        assert (start, stop) == (0, 48)  # single process owns everything
+
+    def test_slab_matches_full_render(self, simple_scene, eight_devices):
+        """A row slab rendered through row_range must equal those rows of
+        the full tiled render (global pixel-index RNG seeding)."""
+        dev, info = simple_scene.build()
+        cfg = RenderConfig(width=40, height=24, samples_per_frame=2,
+                           max_bounces=3, auto_focus=False, blur=0.0)
+        kw = _kwargs(cfg, info)
+        cam = jnp.zeros(3, jnp.float32)
+        rot = jnp.zeros(3, jnp.float32)
+        m = dist_mesh.make_mesh(8)
+        full, _ = dist_mesh.render_frame_tiled(dev, cam, rot, 42, m, **kw)
+        slab, _ = dist_mesh.render_frame_tiled(
+            dev, cam, rot, 42, m, row_range=(8, 16), **kw)
+        a = np.asarray(full)[8:16]
+        b = np.asarray(slab)
+        assert b.shape == (8, 40, 3)
+        exact = (a == b).mean()
+        assert exact > 0.99, exact
+
+    def test_assemble_image_single_process(self):
+        from pathtracer0_tpu.dist import multihost
+
+        slab = np.arange(24 * 4 * 3, dtype=np.float32).reshape(24, 4, 3)
+        out = multihost.assemble_image(slab, 24)
+        np.testing.assert_array_equal(out, slab)
