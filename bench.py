@@ -162,17 +162,18 @@ def run_hero(rng, frames):
     }
 
 
-def run_scale(rng):
-    """1M-triangle procedural terrain through the HBM-streamed LBVH
-    (accel/lbvh.py): reports build time and frame throughput — the scale
-    regime the reference attempted (dispatch.java:1798, 4M tris)."""
+def run_scale(rng, n=708, tag="scale", frames=None, spp=2):
+    """Procedural terrain through the HBM-streamed LBVH (accel/lbvh.py):
+    reports build time and frame throughput. n=708 -> ~1.0M triangles;
+    n=1416 -> ~4.0M, the scale the reference itself attempted
+    (dispatch.java:1798 \"im attemping to raytrace a 4000000 tri scene\")."""
     import numpy as np
     import jax.numpy as jnp
     from pathtracer0_tpu import Scene, RenderConfig
     from pathtracer0_tpu.render.renderer import render_frame
 
-    n = 708  # (n-1)^2 * 2 ~= 1.0M triangles
-    xs = np.linspace(-50, 50, n)
+    ext = 50.0 * (n / 708.0)  # constant triangle density at any n
+    xs = np.linspace(-ext, ext, n)
     X, Z = np.meshgrid(xs, xs)
     Y = (np.sin(X * 0.35) * np.cos(Z * 0.28) * 1.8
          + np.sin(X * 0.09 + 1.3) * 4.0
@@ -194,17 +195,19 @@ def run_scale(rng):
     build_s = time.perf_counter() - t0
     n_tris = dev.num_tris
 
-    cfg = RenderConfig(width=800, height=600, samples_per_frame=2,
+    cfg = RenderConfig(width=800, height=600, samples_per_frame=spp,
                        max_bounces=3, auto_focus=False, blur=0.0)
     kw = _frame_kwargs(cfg, info)
-    cam = jnp.asarray([0.0, 14.0, -58.0], jnp.float32)
+    scale = 50.0 * (n / 708.0)  # keep terrain feature density constant
+    cam = jnp.asarray([0.0, 14.0, -scale * 1.16], jnp.float32)
     rot = jnp.asarray([0.25, 0.0, 0.0], jnp.float32)
     img, r = render_frame(dev, cam, rot,
                           jnp.uint32(rng.randrange(1, 2 ** 31)), **kw)
     _ = float(r)
     t0 = time.perf_counter()
     tot = jnp.zeros((), jnp.float32)
-    frames = int(os.environ.get("BENCH_SCALE_FRAMES", "2"))
+    if frames is None:
+        frames = int(os.environ.get("BENCH_SCALE_FRAMES", "2"))
     for _k in range(frames):
         img, r = render_frame(dev, cam, rot,
                               jnp.uint32(rng.randrange(1, 2 ** 31)), **kw)
@@ -213,8 +216,8 @@ def run_scale(rng):
     dt = (time.perf_counter() - t0) / frames
     mrays = tot / frames / dt / 1e6
     return {
-        "metric": f"scale: {n_tris} tris (HBM-streamed LBVH), "
-                  "800x600x2spp path",
+        "metric": f"{tag}: {n_tris} tris (HBM-streamed LBVH), "
+                  f"800x600x{spp}spp path",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "build_s": round(build_s, 1),
@@ -246,6 +249,12 @@ def main():
     if (not only or only == "scale") and os.environ.get(
             "BENCH_SCALE", "1") != "0":
         print(json.dumps(run_scale(rng)), flush=True)
+    # 4M-triangle demonstration (the reference's own scale anecdote,
+    # dispatch.java:1798): build + render one frame
+    if (not only or only == "4m") and os.environ.get(
+            "BENCH_4M", "1") != "0":
+        print(json.dumps(run_scale(rng, n=1416, tag="scale4m", frames=1,
+                                   spp=1)), flush=True)
     for n in (1, 2, 3, 4, 6):
         if only and str(n) != only:
             continue

@@ -33,7 +33,7 @@ from typing import NamedTuple
 import numpy as np
 
 TRIS_PER_ROW = 14      # 14 * 9 floats = 126 of 128 lanes
-TREELET_ROWS = 64      # rows per HBM treelet: 64 * 128 * 4 B = 32 KB DMA
+TREELET_ROWS = 128     # rows per HBM treelet: 128 * 128 * 4 B = 64 KB DMA
 SUB_GROUP_ROWS = 4     # triangle rows per subtree leaf: each internal
                        # subtree node costs one serializing vector->scalar
                        # sync in the kernel, so leaves cover GROUPS of rows

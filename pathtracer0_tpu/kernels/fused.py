@@ -134,6 +134,321 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
+def _mat_field(mats_ref, n_mats, shape, mat, col):
+    """newMtl select-chain over the static material count
+    (frag.glsl:170-209); mat is a f32 id at VPU block shape."""
+    v = jnp.full(shape, mats_ref[0, col])
+    for m in range(1, n_mats):
+        v = jnp.where(mat == jnp.float32(m), mats_ref[m, col], v)
+    return v
+
+
+def _closest_hit(
+    tris_ref, attr_ref, ell_ref, imp_ref,
+    onx, ony, onz, dx, dy, dz, alive,
+    *,
+    n_rows: int,
+    n_ell: int,
+    n_imp: int,
+    ell_rotated: tuple,
+    imp_rotated: tuple,
+    imp_fn_ids: tuple,
+    march_steps: int,
+    bisect_iters: int,
+    march_tmax: float,
+):
+    """Closest hit over the dense fused triangle rows + analytic
+    primitives, at VPU block shape. Returns (t, nx, ny, nz, mat f32,
+    is_hit) — the shared scene query of the path (_trace_core) and
+    Whitted (_frame_kernel whitted mode) in-kernel integrators."""
+    shape = alive.shape
+    f0 = jnp.zeros(shape, jnp.float32)
+    nx = f0
+    ny = f0
+    nz = f0
+    # material id carried as f32 (Mosaic lacks f32<->i32 vector/scalar
+    # truncation on this target); select-chains compare against f32
+    mat = f0
+
+    if n_rows > 0:
+        # Division-free Moller-Trumbore over the DENSE fs_tris rows
+        # (TRI_CAP=14 tris/row, scene/packing.py): the candidate t is
+        # carried as a RATIO (tn / td with td = |det| > 0), so the
+        # per-triangle division disappears — comparisons cross-multiply
+        # (both denominators positive) and ONE reciprocal after the
+        # loop recovers t, u, v. Commits carry only (tn, td, un, vn,
+        # hid); attributes resolve in a second, much cheaper pass.
+        tn = jnp.where(alive > 0, MISS, 0.0)
+        td = jnp.ones(shape, jnp.float32)
+        un = f0
+        vn = f0
+        hid = jnp.full(shape, -1.0)
+
+        def row_body(row, carry):
+            tn, td, un, vn, hid = carry
+            for j in range(TRI_CAP):
+                base = 9 * j
+                v1x = tris_ref[row, base + 0]
+                v1y = tris_ref[row, base + 1]
+                v1z = tris_ref[row, base + 2]
+                e1x = tris_ref[row, base + 3]
+                e1y = tris_ref[row, base + 4]
+                e1z = tris_ref[row, base + 5]
+                e2x = tris_ref[row, base + 6]
+                e2y = tris_ref[row, base + 7]
+                e2z = tris_ref[row, base + 8]
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                sx = onx - v1x
+                sy = ony - v1y
+                sz = onz - v1z
+                ur = sx * px + sy * py + sz * pz
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                vr = dx * qx + dy * qy + dz * qz
+                tr = e2x * qx + e2y * qy + e2z * qz
+                sg = jnp.where(det >= 0.0, jnp.float32(1.0),
+                               jnp.float32(-1.0))
+                adet = det * sg
+                uc = ur * sg
+                vc = vr * sg
+                tc = tr * sg
+                # u <= 1 is implied by u >= 0, v >= 0, u + v <= det;
+                # t > EPS and t_new < t_old cross-multiplied by the
+                # (positive) denominators
+                ok = (
+                    (adet >= EPSILON)
+                    & (uc >= 0.0)
+                    & (vc >= 0.0)
+                    & (uc + vc <= adet)
+                    & (tc > EPSILON * adet)
+                    & (tc * td < tn * adet)
+                )
+                tn = jnp.where(ok, tc, tn)
+                td = jnp.where(ok, adet, td)
+                un = jnp.where(ok, uc, un)
+                vn = jnp.where(ok, vc, vn)
+                hid = jnp.where(ok, jnp.float32(row * TRI_CAP + j), hid)
+            return tn, td, un, vn, hid
+
+        tn, td, un, vn, hid = jax.lax.fori_loop(
+            0, n_rows, row_body, (tn, td, un, vn, hid))
+        invd = 1.0 / td
+        t = tn * invd
+        u = un * invd
+        v = vn * invd
+
+        # attribute resolve by committed triangle id over the dense
+        # attr rows (ATTR_CAP=12 slots/row): 11 VPU ops per slot vs
+        # ~24 for capture-at-commit — and the interp/normalize happens
+        # ONCE instead of per candidate.
+        a1x = f0
+        a1y = f0
+        a1z = f0
+        a2x = f0
+        a2y = f0
+        a2z = f0
+        a3x = f0
+        a3y = f0
+        a3z = f0
+        amc = f0
+
+        def attr_body(row, carry):
+            a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, amc = carry
+            for j in range(ATTR_CAP):
+                a = ATTR_STRIDE * j
+                eq = hid == jnp.float32(row * ATTR_CAP + j)
+                a1x = jnp.where(eq, attr_ref[row, a + 0], a1x)
+                a1y = jnp.where(eq, attr_ref[row, a + 1], a1y)
+                a1z = jnp.where(eq, attr_ref[row, a + 2], a1z)
+                a2x = jnp.where(eq, attr_ref[row, a + 3], a2x)
+                a2y = jnp.where(eq, attr_ref[row, a + 4], a2y)
+                a2z = jnp.where(eq, attr_ref[row, a + 5], a2z)
+                a3x = jnp.where(eq, attr_ref[row, a + 6], a3x)
+                a3y = jnp.where(eq, attr_ref[row, a + 7], a3y)
+                a3z = jnp.where(eq, attr_ref[row, a + 8], a3z)
+                amc = jnp.where(eq, attr_ref[row, a + 9], amc)
+            return (a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, amc)
+
+        n_attr_rows = -(-n_rows * TRI_CAP // ATTR_CAP)
+        (a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, amc) = (
+            jax.lax.fori_loop(
+                0, n_attr_rows, attr_body,
+                (a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, amc)))
+        # interp-vs-flat select, exactly like traverse.surface_sample:
+        # smooth normals normalize the interp; flat tris use n1 as-is.
+        # amc arrives as 2*mat+smooth (f32; values small, so exact)
+        half = jnp.floor(amc * 0.5)
+        smooth = (amc - 2.0 * half) > 0.5
+        mat = half
+        w = 1.0 - u - v
+        nix = a1x * w + a2x * u + a3x * v
+        niy = a1y * w + a2y * u + a3y * v
+        niz = a1z * w + a2z * u + a3z * v
+        mag = jnp.sqrt(nix * nix + niy * niy + niz * niz)
+        nx = jnp.where(smooth, nix / mag, a1x)
+        ny = jnp.where(smooth, niy / mag, a1y)
+        nz = jnp.where(smooth, niz / mag, a1z)
+    else:
+        t = jnp.where(alive > 0, MISS, 0.0)
+
+    # ---- implicit surfaces (frag.glsl:578-605; bracketed marcher) ----
+    for k in range(n_imp):
+        shx = imp_ref[k, 0]
+        shy = imp_ref[k, 1]
+        shz = imp_ref[k, 2]
+        scx = imp_ref[k, 3]
+        scy = imp_ref[k, 4]
+        scz = imp_ref[k, 5]
+        Ox = (onx - shx) / scx
+        Oy = (ony - shy) / scy
+        Oz = (onz - shz) / scz
+        Dx = dx / scx
+        Dy = dy / scy
+        Dz = dz / scz
+        if imp_rotated[k]:
+            r00, r01, r02 = imp_ref[k, 8], imp_ref[k, 9], imp_ref[k, 10]
+            r10, r11, r12 = imp_ref[k, 11], imp_ref[k, 12], imp_ref[k, 13]
+            r20, r21, r22 = imp_ref[k, 14], imp_ref[k, 15], imp_ref[k, 16]
+            Ox, Oy, Oz = (
+                r00 * Ox + r01 * Oy + r02 * Oz,
+                r10 * Ox + r11 * Oy + r12 * Oz,
+                r20 * Ox + r21 * Oy + r22 * Oz,
+            )
+            Dx, Dy, Dz = (
+                r00 * Dx + r01 * Dy + r02 * Dz,
+                r10 * Dx + r11 * Dy + r12 * Dz,
+                r20 * Dx + r21 * Dy + r22 * Dz,
+            )
+        fimp = _BUILDERS[imp_fn_ids[k] - 1]
+
+        def feval(px, py, pz):
+            return fimp(px * px, py * py, pz * pz, px, py, pz)
+
+        dt = jnp.float32(march_tmax / march_steps)
+        fprev = feval(Ox, Oy, Oz)
+
+        def coarse(i, carry):
+            t_lo, t_hi, found, f_prev = carry
+            tc = dt * (i + 1.0)
+            f = feval(Ox + Dx * tc, Oy + Dy * tc, Oz + Dz * tc)
+            sc = (found == 0) & (f_prev * f < 0.0)
+            t_lo = jnp.where(sc, tc - dt, t_lo)
+            t_hi = jnp.where(sc, tc, t_hi)
+            found = found | sc.astype(jnp.int32)
+            return t_lo, t_hi, found, f
+
+        t_lo, t_hi, found, _ = jax.lax.fori_loop(
+            0, march_steps, coarse,
+            (f0, jnp.full(shape, jnp.float32(march_tmax)),
+             jnp.zeros(shape, jnp.int32), fprev),
+        )
+        f_lo = feval(Ox + Dx * t_lo, Oy + Dy * t_lo, Oz + Dz * t_lo)
+
+        def bisect(_, carry):
+            t_lo, t_hi, f_lo = carry
+            t_mid = 0.5 * (t_lo + t_hi)
+            f_mid = feval(Ox + Dx * t_mid, Oy + Dy * t_mid,
+                          Oz + Dz * t_mid)
+            go_left = f_lo * f_mid < 0.0
+            t_hi = jnp.where(go_left, t_mid, t_hi)
+            t_lo = jnp.where(go_left, t_lo, t_mid)
+            f_lo = jnp.where(go_left, f_lo, f_mid)
+            return t_lo, t_hi, f_lo
+
+        t_lo, t_hi, _ = jax.lax.fori_loop(
+            0, bisect_iters, bisect, (t_lo, t_hi, f_lo))
+        tk = 0.5 * (t_lo + t_hi)
+        ok = (found > 0) & (tk < t)
+        # normal = +normalize(raw forward-difference gradient), rotated
+        # back (frag.glsl:440-445, 596-600; see shade/implicits.gradient)
+        h = jnp.float32(1e-4)
+        plx = Ox + Dx * tk
+        ply = Oy + Dy * tk
+        plz = Oz + Dz * tk
+        fc = feval(plx, ply, plz)
+        gx = (feval(plx + h, ply, plz) - fc) / h
+        gy = (feval(plx, ply + h, plz) - fc) / h
+        gz = (feval(plx, ply, plz + h) - fc) / h
+        gm = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+        gx, gy, gz = gx / gm, gy / gm, gz / gm
+        if imp_rotated[k]:
+            gx, gy, gz = (
+                r00 * gx + r10 * gy + r20 * gz,
+                r01 * gx + r11 * gy + r21 * gz,
+                r02 * gx + r12 * gy + r22 * gz,
+            )
+        t = jnp.where(ok, tk, t)
+        nx = jnp.where(ok, gx, nx)
+        ny = jnp.where(ok, gy, ny)
+        nz = jnp.where(ok, gz, nz)
+        mat = jnp.where(ok, imp_ref[k, 7], mat)
+
+    # ---- ellipsoids (frag.glsl:606-631) ------------------------------
+    for e in range(n_ell):
+        cx = ell_ref[e, 0]
+        cy = ell_ref[e, 1]
+        cz = ell_ref[e, 2]
+        fx = ell_ref[e, 3]
+        fy = ell_ref[e, 4]
+        fz = ell_ref[e, 5]
+        rad = ell_ref[e, 6]
+        if ell_rotated[e]:
+            r00, r01, r02 = ell_ref[e, 8], ell_ref[e, 9], ell_ref[e, 10]
+            r10, r11, r12 = ell_ref[e, 11], ell_ref[e, 12], ell_ref[e, 13]
+            r20, r21, r22 = ell_ref[e, 14], ell_ref[e, 15], ell_ref[e, 16]
+            rox = r00 * onx + r01 * ony + r02 * onz
+            roy = r10 * onx + r11 * ony + r12 * onz
+            roz = r20 * onx + r21 * ony + r22 * onz
+            rdx = r00 * dx + r01 * dy + r02 * dz
+            rdy = r10 * dx + r11 * dy + r12 * dz
+            rdz = r20 * dx + r21 * dy + r22 * dz
+        else:
+            rox, roy, roz = onx, ony, onz
+            rdx, rdy, rdz = dx, dy, dz
+        ocx = rox - cx
+        ocy = roy - cy
+        ocz = roz - cz
+        a = fx * rdx * rdx + fy * rdy * rdy + fz * rdz * rdz
+        b = 2.0 * (fx * ocx * rdx + fy * ocy * rdy + fz * ocz * rdz)
+        cc = (fx * ocx * ocx + fy * ocy * ocy + fz * ocz * ocz
+              - rad * rad)
+        disc = b * b - 4.0 * a * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        inv_2a = 1.0 / (2.0 * a)
+        t0r = (-b - sq) * inv_2a
+        t1r = (-b + sq) * inv_2a
+        t_lo = jnp.minimum(t0r, t1r)
+        t_hi = jnp.maximum(t0r, t1r)
+        te = jnp.where(t_lo > 0.0, t_lo, t_hi)
+        ok = (disc > 0.0) & (te > 0.0) & (te < t)
+        # N = normalize(ro + t*rd - c) in the (rotated) local frame,
+        # rotated back (frag.glsl:622-626)
+        lx = rox + te * rdx - cx
+        ly = roy + te * rdy - cy
+        lz = roz + te * rdz - cz
+        lm = jnp.sqrt(lx * lx + ly * ly + lz * lz)
+        lx, ly, lz = lx / lm, ly / lm, lz / lm
+        if ell_rotated[e]:
+            lx, ly, lz = (
+                r00 * lx + r10 * ly + r20 * lz,
+                r01 * lx + r11 * ly + r21 * lz,
+                r02 * lx + r12 * ly + r22 * lz,
+            )
+        t = jnp.where(ok, te, t)
+        nx = jnp.where(ok, lx, nx)
+        ny = jnp.where(ok, ly, ny)
+        nz = jnp.where(ok, lz, nz)
+        mat = jnp.where(ok, ell_ref[e, 7], mat)
+
+
+    is_hit = (alive > 0) & (t < jnp.float32(1e25))
+    return t, nx, ny, nz, mat, is_hit
+
+
 def _trace_core(
     mats_ref, ell_ref, imp_ref, tris_ref, attr_ref,
     ox0, oy0, oz0, dx0, dy0, dz0, alive0, state0,
@@ -167,14 +482,10 @@ def _trace_core(
     # stack state exists only when something reads n1/n2 (see body)
     S = stack_size if use_stack else 1
 
-    # material field decode: select-chain over the static material count
-    # (newMtl, frag.glsl:170-209). mat is an i32 (RS,128) index; miss lanes
-    # hold 0, matching the XLA decode's clamp (shade/mtl.decode).
+    # material field decode: miss lanes hold mat 0, matching the XLA
+    # decode's clamp (shade/mtl.decode)
     def field(mat, col: int):
-        v = jnp.full(shape, mats_ref[0, col])
-        for m in range(1, n_mats):
-            v = jnp.where(mat == jnp.float32(m), mats_ref[m, col], v)
-        return v
+        return _mat_field(mats_ref, n_mats, shape, mat, col)
 
     def cond(c):
         return (c[0] < max_bounces) & (c[1] > 0)
@@ -194,288 +505,14 @@ def _trace_core(
         onz = oz + jnp.float32(1e-4) * dz
 
         # ---- closest hit: t + committed shading normal + material -------
-        nx = f0
-        ny = f0
-        nz = f0
-        # material id carried as f32 (Mosaic lacks f32<->i32 vector/scalar
-        # truncation on this target); select-chains compare against f32
-        mat = f0
-
-        if n_rows > 0:
-            # Division-free Moller-Trumbore over the DENSE fs_tris rows
-            # (TRI_CAP=14 tris/row, scene/packing.py): the candidate t is
-            # carried as a RATIO (tn / td with td = |det| > 0), so the
-            # per-triangle division disappears — comparisons cross-multiply
-            # (both denominators positive) and ONE reciprocal after the
-            # loop recovers t, u, v. Commits carry only (tn, td, un, vn,
-            # hid); attributes resolve in a second, much cheaper pass.
-            tn = jnp.where(alive > 0, MISS, 0.0)
-            td = jnp.ones(shape, jnp.float32)
-            un = f0
-            vn = f0
-            hid = jnp.full(shape, -1.0)
-
-            def row_body(row, carry):
-                tn, td, un, vn, hid = carry
-                for j in range(TRI_CAP):
-                    base = 9 * j
-                    v1x = tris_ref[row, base + 0]
-                    v1y = tris_ref[row, base + 1]
-                    v1z = tris_ref[row, base + 2]
-                    e1x = tris_ref[row, base + 3]
-                    e1y = tris_ref[row, base + 4]
-                    e1z = tris_ref[row, base + 5]
-                    e2x = tris_ref[row, base + 6]
-                    e2y = tris_ref[row, base + 7]
-                    e2z = tris_ref[row, base + 8]
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    sx = onx - v1x
-                    sy = ony - v1y
-                    sz = onz - v1z
-                    ur = sx * px + sy * py + sz * pz
-                    qx = sy * e1z - sz * e1y
-                    qy = sz * e1x - sx * e1z
-                    qz = sx * e1y - sy * e1x
-                    vr = dx * qx + dy * qy + dz * qz
-                    tr = e2x * qx + e2y * qy + e2z * qz
-                    sg = jnp.where(det >= 0.0, jnp.float32(1.0),
-                                   jnp.float32(-1.0))
-                    adet = det * sg
-                    uc = ur * sg
-                    vc = vr * sg
-                    tc = tr * sg
-                    # u <= 1 is implied by u >= 0, v >= 0, u + v <= det;
-                    # t > EPS and t_new < t_old cross-multiplied by the
-                    # (positive) denominators
-                    ok = (
-                        (adet >= EPSILON)
-                        & (uc >= 0.0)
-                        & (vc >= 0.0)
-                        & (uc + vc <= adet)
-                        & (tc > EPSILON * adet)
-                        & (tc * td < tn * adet)
-                    )
-                    tn = jnp.where(ok, tc, tn)
-                    td = jnp.where(ok, adet, td)
-                    un = jnp.where(ok, uc, un)
-                    vn = jnp.where(ok, vc, vn)
-                    hid = jnp.where(ok, jnp.float32(row * TRI_CAP + j), hid)
-                return tn, td, un, vn, hid
-
-            tn, td, un, vn, hid = jax.lax.fori_loop(
-                0, n_rows, row_body, (tn, td, un, vn, hid))
-            invd = 1.0 / td
-            t = tn * invd
-            u = un * invd
-            v = vn * invd
-
-            # attribute resolve by committed triangle id over the dense
-            # attr rows (ATTR_CAP=12 slots/row): 11 VPU ops per slot vs
-            # ~24 for capture-at-commit — and the interp/normalize happens
-            # ONCE instead of per candidate.
-            a1x = f0
-            a1y = f0
-            a1z = f0
-            a2x = f0
-            a2y = f0
-            a2z = f0
-            a3x = f0
-            a3y = f0
-            a3z = f0
-            amc = f0
-
-            def attr_body(row, carry):
-                a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, amc = carry
-                for j in range(ATTR_CAP):
-                    a = ATTR_STRIDE * j
-                    eq = hid == jnp.float32(row * ATTR_CAP + j)
-                    a1x = jnp.where(eq, attr_ref[row, a + 0], a1x)
-                    a1y = jnp.where(eq, attr_ref[row, a + 1], a1y)
-                    a1z = jnp.where(eq, attr_ref[row, a + 2], a1z)
-                    a2x = jnp.where(eq, attr_ref[row, a + 3], a2x)
-                    a2y = jnp.where(eq, attr_ref[row, a + 4], a2y)
-                    a2z = jnp.where(eq, attr_ref[row, a + 5], a2z)
-                    a3x = jnp.where(eq, attr_ref[row, a + 6], a3x)
-                    a3y = jnp.where(eq, attr_ref[row, a + 7], a3y)
-                    a3z = jnp.where(eq, attr_ref[row, a + 8], a3z)
-                    amc = jnp.where(eq, attr_ref[row, a + 9], amc)
-                return (a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, amc)
-
-            n_attr_rows = -(-n_rows * TRI_CAP // ATTR_CAP)
-            (a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, amc) = (
-                jax.lax.fori_loop(
-                    0, n_attr_rows, attr_body,
-                    (a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, amc)))
-            # interp-vs-flat select, exactly like traverse.surface_sample:
-            # smooth normals normalize the interp; flat tris use n1 as-is.
-            # amc arrives as 2*mat+smooth (f32; values small, so exact)
-            half = jnp.floor(amc * 0.5)
-            smooth = (amc - 2.0 * half) > 0.5
-            mat = half
-            w = 1.0 - u - v
-            nix = a1x * w + a2x * u + a3x * v
-            niy = a1y * w + a2y * u + a3y * v
-            niz = a1z * w + a2z * u + a3z * v
-            mag = jnp.sqrt(nix * nix + niy * niy + niz * niz)
-            nx = jnp.where(smooth, nix / mag, a1x)
-            ny = jnp.where(smooth, niy / mag, a1y)
-            nz = jnp.where(smooth, niz / mag, a1z)
-        else:
-            t = jnp.where(alive > 0, MISS, 0.0)
-
-        # ---- implicit surfaces (frag.glsl:578-605; bracketed marcher) ----
-        for k in range(n_imp):
-            shx = imp_ref[k, 0]
-            shy = imp_ref[k, 1]
-            shz = imp_ref[k, 2]
-            scx = imp_ref[k, 3]
-            scy = imp_ref[k, 4]
-            scz = imp_ref[k, 5]
-            Ox = (onx - shx) / scx
-            Oy = (ony - shy) / scy
-            Oz = (onz - shz) / scz
-            Dx = dx / scx
-            Dy = dy / scy
-            Dz = dz / scz
-            if imp_rotated[k]:
-                r00, r01, r02 = imp_ref[k, 8], imp_ref[k, 9], imp_ref[k, 10]
-                r10, r11, r12 = imp_ref[k, 11], imp_ref[k, 12], imp_ref[k, 13]
-                r20, r21, r22 = imp_ref[k, 14], imp_ref[k, 15], imp_ref[k, 16]
-                Ox, Oy, Oz = (
-                    r00 * Ox + r01 * Oy + r02 * Oz,
-                    r10 * Ox + r11 * Oy + r12 * Oz,
-                    r20 * Ox + r21 * Oy + r22 * Oz,
-                )
-                Dx, Dy, Dz = (
-                    r00 * Dx + r01 * Dy + r02 * Dz,
-                    r10 * Dx + r11 * Dy + r12 * Dz,
-                    r20 * Dx + r21 * Dy + r22 * Dz,
-                )
-            fimp = _BUILDERS[imp_fn_ids[k] - 1]
-
-            def feval(px, py, pz):
-                return fimp(px * px, py * py, pz * pz, px, py, pz)
-
-            dt = jnp.float32(march_tmax / march_steps)
-            fprev = feval(Ox, Oy, Oz)
-
-            def coarse(i, carry):
-                t_lo, t_hi, found, f_prev = carry
-                tc = dt * (i + 1.0)
-                f = feval(Ox + Dx * tc, Oy + Dy * tc, Oz + Dz * tc)
-                sc = (found == 0) & (f_prev * f < 0.0)
-                t_lo = jnp.where(sc, tc - dt, t_lo)
-                t_hi = jnp.where(sc, tc, t_hi)
-                found = found | sc.astype(jnp.int32)
-                return t_lo, t_hi, found, f
-
-            t_lo, t_hi, found, _ = jax.lax.fori_loop(
-                0, march_steps, coarse,
-                (f0, jnp.full(shape, jnp.float32(march_tmax)),
-                 jnp.zeros(shape, jnp.int32), fprev),
-            )
-            f_lo = feval(Ox + Dx * t_lo, Oy + Dy * t_lo, Oz + Dz * t_lo)
-
-            def bisect(_, carry):
-                t_lo, t_hi, f_lo = carry
-                t_mid = 0.5 * (t_lo + t_hi)
-                f_mid = feval(Ox + Dx * t_mid, Oy + Dy * t_mid,
-                              Oz + Dz * t_mid)
-                go_left = f_lo * f_mid < 0.0
-                t_hi = jnp.where(go_left, t_mid, t_hi)
-                t_lo = jnp.where(go_left, t_lo, t_mid)
-                f_lo = jnp.where(go_left, f_lo, f_mid)
-                return t_lo, t_hi, f_lo
-
-            t_lo, t_hi, _ = jax.lax.fori_loop(
-                0, bisect_iters, bisect, (t_lo, t_hi, f_lo))
-            tk = 0.5 * (t_lo + t_hi)
-            ok = (found > 0) & (tk < t)
-            # normal = +normalize(raw forward-difference gradient), rotated
-            # back (frag.glsl:440-445, 596-600; see shade/implicits.gradient)
-            h = jnp.float32(1e-4)
-            plx = Ox + Dx * tk
-            ply = Oy + Dy * tk
-            plz = Oz + Dz * tk
-            fc = feval(plx, ply, plz)
-            gx = (feval(plx + h, ply, plz) - fc) / h
-            gy = (feval(plx, ply + h, plz) - fc) / h
-            gz = (feval(plx, ply, plz + h) - fc) / h
-            gm = jnp.sqrt(gx * gx + gy * gy + gz * gz)
-            gx, gy, gz = gx / gm, gy / gm, gz / gm
-            if imp_rotated[k]:
-                gx, gy, gz = (
-                    r00 * gx + r10 * gy + r20 * gz,
-                    r01 * gx + r11 * gy + r21 * gz,
-                    r02 * gx + r12 * gy + r22 * gz,
-                )
-            t = jnp.where(ok, tk, t)
-            nx = jnp.where(ok, gx, nx)
-            ny = jnp.where(ok, gy, ny)
-            nz = jnp.where(ok, gz, nz)
-            mat = jnp.where(ok, imp_ref[k, 7], mat)
-
-        # ---- ellipsoids (frag.glsl:606-631) ------------------------------
-        for e in range(n_ell):
-            cx = ell_ref[e, 0]
-            cy = ell_ref[e, 1]
-            cz = ell_ref[e, 2]
-            fx = ell_ref[e, 3]
-            fy = ell_ref[e, 4]
-            fz = ell_ref[e, 5]
-            rad = ell_ref[e, 6]
-            if ell_rotated[e]:
-                r00, r01, r02 = ell_ref[e, 8], ell_ref[e, 9], ell_ref[e, 10]
-                r10, r11, r12 = ell_ref[e, 11], ell_ref[e, 12], ell_ref[e, 13]
-                r20, r21, r22 = ell_ref[e, 14], ell_ref[e, 15], ell_ref[e, 16]
-                rox = r00 * onx + r01 * ony + r02 * onz
-                roy = r10 * onx + r11 * ony + r12 * onz
-                roz = r20 * onx + r21 * ony + r22 * onz
-                rdx = r00 * dx + r01 * dy + r02 * dz
-                rdy = r10 * dx + r11 * dy + r12 * dz
-                rdz = r20 * dx + r21 * dy + r22 * dz
-            else:
-                rox, roy, roz = onx, ony, onz
-                rdx, rdy, rdz = dx, dy, dz
-            ocx = rox - cx
-            ocy = roy - cy
-            ocz = roz - cz
-            a = fx * rdx * rdx + fy * rdy * rdy + fz * rdz * rdz
-            b = 2.0 * (fx * ocx * rdx + fy * ocy * rdy + fz * ocz * rdz)
-            cc = (fx * ocx * ocx + fy * ocy * ocy + fz * ocz * ocz
-                  - rad * rad)
-            disc = b * b - 4.0 * a * cc
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            inv_2a = 1.0 / (2.0 * a)
-            t0r = (-b - sq) * inv_2a
-            t1r = (-b + sq) * inv_2a
-            t_lo = jnp.minimum(t0r, t1r)
-            t_hi = jnp.maximum(t0r, t1r)
-            te = jnp.where(t_lo > 0.0, t_lo, t_hi)
-            ok = (disc > 0.0) & (te > 0.0) & (te < t)
-            # N = normalize(ro + t*rd - c) in the (rotated) local frame,
-            # rotated back (frag.glsl:622-626)
-            lx = rox + te * rdx - cx
-            ly = roy + te * rdy - cy
-            lz = roz + te * rdz - cz
-            lm = jnp.sqrt(lx * lx + ly * ly + lz * lz)
-            lx, ly, lz = lx / lm, ly / lm, lz / lm
-            if ell_rotated[e]:
-                lx, ly, lz = (
-                    r00 * lx + r10 * ly + r20 * lz,
-                    r01 * lx + r11 * ly + r21 * lz,
-                    r02 * lx + r12 * ly + r22 * lz,
-                )
-            t = jnp.where(ok, te, t)
-            nx = jnp.where(ok, lx, nx)
-            ny = jnp.where(ok, ly, ny)
-            nz = jnp.where(ok, lz, nz)
-            mat = jnp.where(ok, ell_ref[e, 7], mat)
-
-        is_hit = (alive > 0) & (t < jnp.float32(1e25))
+        t, nx, ny, nz, mat, is_hit = _closest_hit(
+            tris_ref, attr_ref, ell_ref, imp_ref,
+            onx, ony, onz, dx, dy, dz, alive,
+            n_rows=n_rows, n_ell=n_ell, n_imp=n_imp,
+            ell_rotated=ell_rotated, imp_rotated=imp_rotated,
+            imp_fn_ids=imp_fn_ids, march_steps=march_steps,
+            bisect_iters=bisect_iters, march_tmax=march_tmax,
+        )
         is_miss = (alive > 0) & ~is_hit
 
         # hit location (uniform o + t*d for all primitive kinds, matching
@@ -940,9 +977,16 @@ def _frame_kernel(
     focal_length: float,
     h_ratio: float,
     blur: float,
+    whitted: bool = False,
     **consts,
 ):
     """Whole-frame megakernel: grid = (pixel blocks, samples).
+
+    whitted=True runs the directDiffuse integrator (frag.glsl:655-681)
+    instead of the path-trace bounce loop: one closest-hit + the
+    Ka + 0.2*Kd + Kd*dot(up,N) + Ke shade, sky deferred via a unit miss
+    throughput. (Eligibility excludes subsurface materials — the SSS
+    thickness probe stays on the XLA path.)
 
     Per grid step, ONE sample of one block runs end to end in-kernel:
     primary-ray generation (frag.glsl:894), the DOF origin jitter + re-aim
@@ -1011,10 +1055,48 @@ def _frame_kernel(
     dz = ddz / mag
 
     alive0 = (alive_ref[...] > 0.0).astype(jnp.int32)
-    (ir, ig, ib), (mr, mg, mb), (fdx, fdy, fdz), state, rays = _trace_core(
-        mats_ref, ell_ref, imp_ref, tris_ref, attr_ref,
-        ox, oy, oz, dx, dy, dz, alive0, state, **consts,
-    )
+    if whitted:
+        onx = ox + jnp.float32(1e-4) * dx
+        ony = oy + jnp.float32(1e-4) * dy
+        onz = oz + jnp.float32(1e-4) * dz
+        _t, nxv, nyv, nzv, mat, is_hit = _closest_hit(
+            tris_ref, attr_ref, ell_ref, imp_ref,
+            onx, ony, onz, dx, dy, dz, alive0,
+            n_rows=consts["n_rows"], n_ell=consts["n_ell"],
+            n_imp=consts["n_imp"], ell_rotated=consts["ell_rotated"],
+            imp_rotated=consts["imp_rotated"],
+            imp_fn_ids=consts["imp_fn_ids"],
+            march_steps=consts["march_steps"],
+            bisect_iters=consts["bisect_iters"],
+            march_tmax=consts["march_tmax"],
+        )
+        n_mats = consts["n_mats"]
+
+        def fld(col):
+            return _mat_field(mats_ref, n_mats, shape, mat, col)
+
+        # col = Ka + 0.2*Kd + Kd*dot(up, N) + Ke (frag.glsl:655-661);
+        # the shading normal is NOT flipped in Whitted mode
+        f0 = jnp.zeros(shape, jnp.float32)
+        ir = jnp.where(is_hit,
+                       fld(0) + fld(3) * (0.2 + nyv) + fld(16), f0)
+        ig = jnp.where(is_hit,
+                       fld(1) + fld(4) * (0.2 + nyv) + fld(17), f0)
+        ib = jnp.where(is_hit,
+                       fld(2) + fld(5) * (0.2 + nyv) + fld(18), f0)
+        one = jnp.ones(shape, jnp.float32)
+        is_miss = (alive0 > 0) & ~is_hit
+        mr = jnp.where(is_miss, one, f0)
+        mg = mr
+        mb = mr
+        fdx, fdy, fdz = dx, dy, dz
+        rays = jnp.sum(alive0).astype(jnp.float32)
+    else:
+        (ir, ig, ib), (mr, mg, mb), (fdx, fdy, fdz), state, rays = \
+            _trace_core(
+                mats_ref, ell_ref, imp_ref, tris_ref, attr_ref,
+                ox, oy, oz, dx, dy, dz, alive0, state, **consts,
+            )
 
     inc_ref[0] = inc_ref[0] + ir
     inc_ref[1] = inc_ref[1] + ig
@@ -1035,7 +1117,7 @@ def _frame_kernel(
                      "block_rows", "ell_rotated", "imp_rotated",
                      "imp_fn_ids", "cam_size", "focal_length", "h_ratio",
                      "blur", "march_steps", "bisect_iters", "march_tmax",
-                     "gates", "interpret"),
+                     "gates", "whitted", "interpret"),
 )
 def trace_frame(
     uv2,       # (2, R) f32, R % (block_rows*128) == 0
@@ -1059,6 +1141,7 @@ def trace_frame(
     bisect_iters: int = 24,
     march_tmax: float = 100.0,
     gates: tuple = (True, True, True, True, True),
+    whitted: bool = False,
     interpret: bool = False,
 ):
     """All spp samples of a whole frame in ONE kernel launch.
@@ -1094,6 +1177,7 @@ def trace_frame(
         march_tmax=march_tmax,
         gate_ss=gate_ss, gate_cc=gate_cc, gate_trans=gate_trans,
         gate_fresnel=gate_fresnel, gate_emit=gate_emit,
+        whitted=whitted,
     )
     vec2 = pl.BlockSpec((2, block_rows, LANES), lambda b, s: (0, b, 0))
     vec1 = pl.BlockSpec((block_rows, LANES), lambda b, s: (b, 0))
@@ -1155,6 +1239,7 @@ def eligible(info, scene, params) -> bool:
 def render_fused_frame(scene, info, params, cam_pos, cam_rot, frame_seed,
                        ifd, *, width: int, height: int, spp: int,
                        cam_size: float, focal_length: float, blur: float,
+                       whitted: bool = False,
                        interpret: bool = False, block_rows: int = 32):
     """One full frame (all pixels x spp samples) through the whole-frame
     megakernel + one batched sky pass. Returns (col (H*W, 3) mean over spp,
@@ -1203,6 +1288,7 @@ def render_fused_frame(scene, info, params, cam_pos, cam_rot, frame_seed,
         h_ratio=height / float(width),
         blur=blur,
         gates=getattr(info, "mat_gates", (True,) * 5),
+        whitted=whitted,
         interpret=interpret,
     )
     # deferred sky over all (spp, R) miss records in one batched pass,

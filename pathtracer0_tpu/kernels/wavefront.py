@@ -401,10 +401,12 @@ def _streamed_kernel(
         scalar read yields the group bitmask — per-ray closest-t pruning
         without the per-node reduction syncs that serialized round 2."""
         t_cur = jnp.minimum(t_ref[...], gate_ceiling)
-        bits_v = jnp.zeros_like(idx_ref)
+        # uint32 mask: safe up to 32 groups (bit 31 has no sign issues)
+        bits_v = jnp.zeros(t_cur.shape, jnp.uint32)
         for g in range(n_groups):  # static unroll: ~22 vector ops/group
             enter = sub_entry_vec(slot, n_groups - 1 + g)
-            bits_v = bits_v | ((enter < t_cur).astype(jnp.int32) << g)
+            bits_v = bits_v | (
+                (enter < t_cur).astype(jnp.uint32) << jnp.uint32(g))
         bt_ref[gi, 0] = bt_ref[gi, 0] + n_groups
         b = bits_v
         rs = b.shape[0]
@@ -414,7 +416,10 @@ def _streamed_kernel(
             rs = h
         for sh in (1, 2, 4, 8, 16, 32, 64):
             b = b | pltpu.roll(b, sh, 1)
-        bits = jnp.max(b)  # all lanes equal after the OR-tree
+        # all lanes equal after the OR-tree, so a max reduction reads the
+        # value; Mosaic lacks unsigned reductions, so go through int32 —
+        # (bits >> g) & 1 is correct under arithmetic shift for any g
+        bits = jnp.max(pltpu.bitcast(b, jnp.int32))
 
         def gbody(g, _):
             @pl.when(((bits >> g) & 1) > 0)

@@ -226,8 +226,12 @@ def _render_frame_impl(
     # the sky pass stays outside. Same RNG streams as the loop below.
     from ..kernels import fused as fused_mod
 
+    # Whitted mode also runs in-kernel (directDiffuse, one closest-hit)
+    # unless a subsurface material needs the XLA thickness probe
+    whitted_ok = (not raytracing
+                  and not getattr(info, "mat_gates", (True,) * 5)[0])
     use_frame = (
-        raytracing
+        (raytracing or whitted_ok)
         and not params.legacy_shading
         and not params.fold_spp
         and params.fused in ("auto", "on", "interpret")
@@ -239,6 +243,7 @@ def _render_frame_impl(
             scene, info, params, cam_pos, cam_rot, frame_seed, ifd,
             width=width, height=height, spp=spp, cam_size=cam_size,
             focal_length=focal_length, blur=blur,
+            whitted=not raytracing,
             interpret=(params.fused == "interpret"),
         )
         return col.reshape(height, width, 3), rays

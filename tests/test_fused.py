@@ -125,6 +125,39 @@ def test_frame_kernel_parity():
     assert abs(ra - rb) <= 0.01 * ra + 16
 
 
+def test_frame_kernel_whitted_parity():
+    """Whitted mode of the whole-frame kernel (one in-kernel closest-hit +
+    directDiffuse shade) vs the XLA direct_diffuse path."""
+    from pathtracer0_tpu.render.renderer import render_frame, _frame_params
+    from pathtracer0_tpu.config import RenderConfig
+
+    dev, info = scenes.whitted_analytic().build(max_leaf=4)
+    assert not info.mat_gates[0]  # no subsurface -> whitted-kernel eligible
+    cam, rot = scenes.CAMERAS[1]
+
+    def go(fused):
+        cfg = RenderConfig(width=40, height=24, samples_per_frame=2,
+                           max_bounces=2, raytracing=False, auto_focus=False,
+                           blur=0.001, fused=fused)
+        img, rays = render_frame(
+            dev, jnp.asarray(cam, jnp.float32),
+            jnp.asarray(rot, jnp.float32), jnp.uint32(77),
+            info=info, params=_frame_params(cfg), width=cfg.width,
+            height=cfg.height, spp=cfg.samples_per_frame, raytracing=False,
+            auto_focus=False, cam_size=cfg.cam_size,
+            focal_length=cfg.focal_length, blur=cfg.blur,
+            focal_distance=cfg.focal_distance)
+        return np.asarray(img), float(rays)
+
+    a, ra = go("off")
+    b, rb = go("interpret")
+    d = np.abs(a - b).max(axis=-1)
+    assert np.isfinite(b).all()
+    assert (d < 1e-4).mean() >= 0.99, d.max()
+    assert np.abs(a - b).mean() < 5e-3
+    assert rb == ra
+
+
 def test_not_eligible_with_maps():
     """Scenes with texture maps must fall back to the per-bounce path."""
     sc = Scene()

@@ -190,12 +190,17 @@ class TestStreamedPath:
         hit_n, _ = traverse.ray_scene(o, d, dev_n, info_n, pallas="off")
         _assert_hits_match(hit_s, hit_n)
 
-    def test_parity_multi_treelet(self, grid_scene_large, tmp_path_factory):
+    def test_parity_multi_treelet(self, tmp_path_factory):
         p = tmp_path_factory.mktemp("objs") / "grid_large2.obj"
-        _tri_grid_obj(str(p), 40, 40)
+        # enough triangles for >= 2 treelets at the current treelet size
+        from pathtracer0_tpu.accel import lbvh
+        n = 24   # _tri_grid_obj makes nx * nz triangles
+        while n * n <= lbvh.TRIS_PER_ROW * lbvh.TREELET_ROWS:
+            n += 8
+        _tri_grid_obj(str(p), n, n)
         dev_s, info_s = _scene_from_obj(str(p), stream_threshold=0)
         assert info_s.streamed and info_s.st_n_treelets >= 2
-        dev_n, info_n = grid_scene_large
+        dev_n, info_n = _scene_from_obj(str(p), max_leaf=2)
         o, d = _rand_rays(2048, center=(14.0, 1.0, 14.0), spread=12.0)
         hit_s, _ = traverse.ray_scene(o, d, dev_s, info_s, pallas="auto")
         hit_n, _ = traverse.ray_scene(o, d, dev_n, info_n, pallas="off")
