@@ -88,8 +88,10 @@ def run_config(n, rng, n_frames):
         rmse = None
 
     # --- throughput (full config, random seeds) -------------------------
-    # spp is capped per frame for timing; rays/s is spp-independent.
-    time_spp = min(spp, 8)
+    # spp is capped per frame for timing (16 amortizes fixed per-frame
+    # costs the way the real 64-256 spp configs do; rays/s is otherwise
+    # spp-independent)
+    time_spp = min(spp, 16)
     cfg = RenderConfig(width=w, height=h, samples_per_frame=time_spp,
                        max_bounces=bounces, raytracing=raytracing,
                        auto_focus=False, blur=0.001)

@@ -148,6 +148,7 @@ def _closest_hit(
     onx, ony, onz, dx, dy, dz, alive,
     *,
     n_rows: int,
+    n_attr_rows: int,
     n_ell: int,
     n_imp: int,
     ell_rotated: tuple,
@@ -273,7 +274,6 @@ def _closest_hit(
                 amc = jnp.where(eq, attr_ref[row, a + 9], amc)
             return (a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, amc)
 
-        n_attr_rows = -(-n_rows * TRI_CAP // ATTR_CAP)
         (a1x, a1y, a1z, a2x, a2y, a2z, a3x, a3y, a3z, amc) = (
             jax.lax.fori_loop(
                 0, n_attr_rows, attr_body,
@@ -455,6 +455,7 @@ def _trace_core(
     *,
     max_bounces: int,
     n_rows: int,
+    n_attr_rows: int,
     n_mats: int,
     n_ell: int,
     n_imp: int,
@@ -508,10 +509,11 @@ def _trace_core(
         t, nx, ny, nz, mat, is_hit = _closest_hit(
             tris_ref, attr_ref, ell_ref, imp_ref,
             onx, ony, onz, dx, dy, dz, alive,
-            n_rows=n_rows, n_ell=n_ell, n_imp=n_imp,
-            ell_rotated=ell_rotated, imp_rotated=imp_rotated,
-            imp_fn_ids=imp_fn_ids, march_steps=march_steps,
-            bisect_iters=bisect_iters, march_tmax=march_tmax,
+            n_rows=n_rows, n_attr_rows=n_attr_rows, n_ell=n_ell,
+            n_imp=n_imp, ell_rotated=ell_rotated,
+            imp_rotated=imp_rotated, imp_fn_ids=imp_fn_ids,
+            march_steps=march_steps, bisect_iters=bisect_iters,
+            march_tmax=march_tmax,
         )
         is_miss = (alive > 0) & ~is_hit
 
@@ -808,6 +810,9 @@ def _trace_core(
         alive0, jnp.zeros(shape, jnp.int32),
         f0, f0, f0,
     )
+    # (measured: unrolling 2 bounces/iteration to halve the loop-cond
+    # syncs is a net LOSS — 95.6 vs 99.9 Mrays/s on config 3 — the wasted
+    # half-pairs on freshly-dead blocks outweigh the saved syncs)
     final = jax.lax.while_loop(cond, body, init)
     (_, _, rays,
      _, _, _, fdx, fdy, fdz,
@@ -904,12 +909,14 @@ def trace_block(
     grid = (r // rb,)
     shape = (r // LANES, LANES)
     n_rows = tris.shape[0] if tris.shape[0] > 1 else 0
+    n_attr_rows = attr.shape[0] if n_rows else 0
 
     gate_ss, gate_cc, gate_trans, gate_fresnel, gate_emit = gates
     kern = functools.partial(
         _fused_kernel,
         max_bounces=max_bounces,
         n_rows=n_rows,
+        n_attr_rows=n_attr_rows,
         n_mats=mats.shape[0],
         n_ell=len(ell_rotated),
         n_imp=len(imp_rotated),
@@ -1062,7 +1069,8 @@ def _frame_kernel(
         _t, nxv, nyv, nzv, mat, is_hit = _closest_hit(
             tris_ref, attr_ref, ell_ref, imp_ref,
             onx, ony, onz, dx, dy, dz, alive0,
-            n_rows=consts["n_rows"], n_ell=consts["n_ell"],
+            n_rows=consts["n_rows"],
+            n_attr_rows=consts["n_attr_rows"], n_ell=consts["n_ell"],
             n_imp=consts["n_imp"], ell_rotated=consts["ell_rotated"],
             imp_rotated=consts["imp_rotated"],
             imp_fn_ids=consts["imp_fn_ids"],
@@ -1155,6 +1163,7 @@ def trace_frame(
     nb = r // rb
     shape = (r // LANES, LANES)
     n_rows = tris.shape[0] if tris.shape[0] > 1 else 0
+    n_attr_rows = attr.shape[0] if n_rows else 0
 
     gate_ss, gate_cc, gate_trans, gate_fresnel, gate_emit = gates
     kern = functools.partial(
@@ -1165,6 +1174,7 @@ def trace_frame(
         blur=blur,
         max_bounces=max_bounces,
         n_rows=n_rows,
+        n_attr_rows=n_attr_rows,
         n_mats=mats.shape[0],
         n_ell=len(ell_rotated),
         n_imp=len(imp_rotated),

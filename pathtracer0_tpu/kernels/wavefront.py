@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-SUB_GROUP_ROWS = 4  # rows per subtree leaf — must match accel/lbvh.py
+SUB_GROUP_ROWS = 2  # rows per subtree leaf — must match accel/lbvh.py
 MISS = np.float32(1e30)
 EPSILON = np.float32(1e-10)
 STACK_DEPTH = 160
@@ -167,6 +167,7 @@ def _streamed_kernel(
     stack_ref,      # SMEM (STACK_DEPTH,) i32: top-tree stack
     scratch_ref,    # VMEM (2, treelet_rows, 128) f32 DMA landing buffers
     sub_scratch_ref,  # VMEM (2, treelet_rows, 128) f32 subtree landing
+    td_ref,         # VMEM (RS, 128) f32: closest-t DENOMINATOR scratch
     sem_ref,        # DMA semaphores (2, 2): [slot, rows/subtree]
     *,
     n_treelets: int,
@@ -206,7 +207,11 @@ def _streamed_kernel(
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
 
+    # closest-t carried as a RATIO t_ref / td_ref (division-free
+    # Moller-Trumbore, as in kernels/fused.py): one divide per treelet
+    # retire (for gating) + one at the end recover real distances
     t_ref[...] = tin_ref[...]
+    td_ref[...] = jnp.ones_like(td_ref)
     u_ref[...] = jnp.zeros_like(u_ref)
     v_ref[...] = jnp.zeros_like(v_ref)
     idx_ref[...] = jnp.full_like(idx_ref, -1)
@@ -250,7 +255,7 @@ def _streamed_kernel(
                              jnp.float32(0.0))
 
     def block_tmax():
-        return jnp.max(jnp.minimum(t_ref[...], gate_ceiling))
+        return jnp.max(jnp.minimum(t_ref[...] / td_ref[...], gate_ceiling))
 
     def _mn(v):
         return jnp.min(jnp.where(root_ok, v, BIG))
@@ -349,7 +354,11 @@ def _streamed_kernel(
         return jnp.where(hit, jnp.maximum(t_near, 0.0), MISS)
 
     def test_row(t_id, slot, row):
-        """14 Moller-Trumbore tests of one DMA'd row vs the block."""
+        """14 division-free Moller-Trumbore tests of one DMA'd row vs the
+        block: candidates carried as ratios (numerators in t/u/v_ref, the
+        shared positive denominator |det| in td_ref), comparisons
+        cross-multiplied — no per-triangle divide (kernels/fused.py
+        measured ~10% of the row-test cost)."""
         row0 = t_id * treelet_rows
         for j in range(leaf_cap):
             base = 9 * j
@@ -366,28 +375,32 @@ def _streamed_kernel(
             py = dz * e2x - dx * e2z
             pz = dx * e2y - dy * e2x
             det = e1x * px + e1y * py + e1z * pz
-            inv_det = 1.0 / det
             sx = ox - v1x
             sy = oy - v1y
             sz = oz - v1z
-            u = (sx * px + sy * py + sz * pz) * inv_det
+            ur = sx * px + sy * py + sz * pz
             qx = sy * e1z - sz * e1y
             qy = sz * e1x - sx * e1z
             qz = sx * e1y - sy * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            vr = dx * qx + dy * qy + dz * qz
+            tr = e2x * qx + e2y * qy + e2z * qz
+            sg = jnp.where(det >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
+            adet = det * sg
+            uc = ur * sg
+            vc = vr * sg
+            tc = tr * sg
             ok = (
-                (jnp.abs(det) >= EPSILON)
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > EPSILON)
-                & (t < t_ref[...])
+                (adet >= EPSILON)
+                & (uc >= 0.0)
+                & (vc >= 0.0)
+                & (uc + vc <= adet)
+                & (tc > EPSILON * adet)
+                & (tc * td_ref[...] < t_ref[...] * adet)
             )
-            t_ref[...] = jnp.where(ok, t, t_ref[...])
-            u_ref[...] = jnp.where(ok, u, u_ref[...])
-            v_ref[...] = jnp.where(ok, v, v_ref[...])
+            t_ref[...] = jnp.where(ok, tc, t_ref[...])
+            td_ref[...] = jnp.where(ok, adet, td_ref[...])
+            u_ref[...] = jnp.where(ok, uc, u_ref[...])
+            v_ref[...] = jnp.where(ok, vc, v_ref[...])
             idx_ref[...] = jnp.where(
                 ok, (row0 + row) * leaf_cap + j, idx_ref[...]
             )
@@ -400,29 +413,40 @@ def _streamed_kernel(
         OR-tree (sublane halving + lane rotates) collapses them so a single
         scalar read yields the group bitmask — per-ray closest-t pruning
         without the per-node reduction syncs that serialized round 2."""
-        t_cur = jnp.minimum(t_ref[...], gate_ceiling)
-        # uint32 mask: safe up to 32 groups (bit 31 has no sign issues)
-        bits_v = jnp.zeros(t_cur.shape, jnp.uint32)
-        for g in range(n_groups):  # static unroll: ~22 vector ops/group
-            enter = sub_entry_vec(slot, n_groups - 1 + g)
-            bits_v = bits_v | (
-                (enter < t_cur).astype(jnp.uint32) << jnp.uint32(g))
+        t_cur = jnp.minimum(t_ref[...] / td_ref[...], gate_ceiling)
         bt_ref[gi, 0] = bt_ref[gi, 0] + n_groups
-        b = bits_v
-        rs = b.shape[0]
-        while rs > 1:
-            h = rs // 2
-            b = b[:h] | b[h:rs]
-            rs = h
-        for sh in (1, 2, 4, 8, 16, 32, 64):
-            b = b | pltpu.roll(b, sh, 1)
-        # all lanes equal after the OR-tree, so a max reduction reads the
-        # value; Mosaic lacks unsigned reductions, so go through int32 —
-        # (bits >> g) & 1 is correct under arithmetic shift for any g
-        bits = jnp.max(pltpu.bitcast(b, jnp.int32))
+        n_words = -(-n_groups // 32)
+        words = []
+        for w in range(n_words):
+            # uint32 want-bit mask for groups [32w, 32w+32)
+            bits_v = jnp.zeros(t_cur.shape, jnp.uint32)
+            for g in range(32 * w, min(32 * (w + 1), n_groups)):
+                enter = sub_entry_vec(slot, n_groups - 1 + g)
+                bits_v = bits_v | (
+                    (enter < t_cur).astype(jnp.uint32)
+                    << jnp.uint32(g - 32 * w))
+            b = bits_v
+            rs = b.shape[0]
+            while rs > 1:
+                h = rs // 2
+                b = b[:h] | b[h:rs]
+                rs = h
+            for sh in (1, 2, 4, 8, 16, 32, 64):
+                b = b | pltpu.roll(b, sh, 1)
+            # all lanes equal after the OR-tree, so a max reduction reads
+            # the value; Mosaic lacks unsigned reductions, so go through
+            # int32 — (bits >> g) & 1 stays correct under arithmetic shift
+            words.append(jnp.max(pltpu.bitcast(b, jnp.int32)))
 
         def gbody(g, _):
-            @pl.when(((bits >> g) & 1) > 0)
+            if n_words == 1:
+                bit = (words[0] >> g) & 1
+            else:
+                lo = words[0] >> jnp.minimum(g, 31)
+                hi = words[1] >> jnp.minimum(jnp.maximum(g - 32, 0), 31)
+                bit = jnp.where(g < 32, lo, hi) & 1
+
+            @pl.when(bit > 0)
             def _():
                 for dr in range(SUB_GROUP_ROWS):
                     test_row(t_id, slot, SUB_GROUP_ROWS * g + dr)
@@ -522,6 +546,13 @@ def _streamed_kernel(
 
     jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(-1),
                                     jnp.int32(0), block_tmax()))
+
+    # recover real distances/barycentrics from the ratio state (ONE divide
+    # per lane; no-hit lanes keep td=1, so t stays t_init exactly)
+    inv_td = 1.0 / td_ref[...]
+    t_ref[...] = t_ref[...] * inv_td
+    u_ref[...] = u_ref[...] * inv_td
+    v_ref[...] = v_ref[...] * inv_td
 
 
 def _traverse_kernel(
@@ -867,8 +898,8 @@ def trace_streamed(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # top_f
-            pl.BlockSpec(memory_space=pltpu.ANY),    # tris stay in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),    # subtree AABBs in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # tris stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # subtree AABBs in HBM
             pl.BlockSpec((3, block_rows, LANES), lambda i: (0, i, 0)),
             pl.BlockSpec((3, block_rows, LANES), lambda i: (0, i, 0)),
             pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
@@ -894,6 +925,7 @@ def trace_streamed(
             pltpu.VMEM((2, treelet_rows, LANES), jnp.float32),
             pltpu.VMEM((2, 2 * (treelet_rows // SUB_GROUP_ROWS), LANES),
                        jnp.float32),
+            pltpu.VMEM((block_rows, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,

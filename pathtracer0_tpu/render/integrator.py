@@ -87,6 +87,8 @@ def _shade_setup(hit, o_nudged, d, scene, params, info=None):
     m, rec = mtl_mod.decode(scene.materials, surf.mat)
     m = mtl_mod.apply_maps(
         m, rec, surf.uv, scene.tex_data, scene.tex_sizes, enable=maps_on,
+        present=None if info is None else getattr(info, "maps_present",
+                                                  None),
     )
     n = mtl_mod.shading_normal(
         m, surf.norm, surf.tangent, surf.uv, scene.tex_data,

@@ -72,11 +72,6 @@ class DeviceScene(NamedTuple):
     # 18-26 v1/v2/v3.
     tri_attr: jax.Array    # (T, 27) f32
 
-    # Fused-megakernel tables (kernels/fused.py): attribute rows aligned
-    # with wf_tris (slot j at lanes [10j, 10j+10): n1, n2, n3, mat — flat
-    # normals replicated into all three slots so barycentric interp
-    # reproduces them exactly), and per-primitive scalar tables with
-    # host-precomputed rotation matrices.
     # Dense fused tables (kernels/fused.py): triangles at TRI_CAP=14/row
     # and attributes at ATTR_CAP=12/row, both in leaf order — densities are
     # independent because the kernel resolves attributes by committed
@@ -369,6 +364,16 @@ def pack_scene(scene, config: RenderConfig,
     map_cols = [21, 22, 23, 31, 32, 33, 34, 35, 37, 38, 39, 40]  # COL map_*
     has_maps = bool(mats.shape[0]) and bool((mats[:, map_cols] >= 0).any())
     has_normal_maps = bool(mats.shape[0]) and bool((mats[:, 36] >= 0).any())
+    # per-channel map presence: apply_maps skips the bilinear sample of any
+    # channel no material maps (a scene with only map_Kd pays 1 sample per
+    # bounce, not 11 — frag.glsl:210-225 samples all of them)
+    from .material import COL as _COL
+    _map_names = ("map_Ka", "map_Kd", "map_Ks", "map_Ke", "map_d",
+                  "map_Tr", "map_Ns", "map_Pm", "map_Pr", "map_Ps",
+                  "map_Pc")
+    maps_present = tuple(
+        nm for nm in _map_names
+        if mats.shape[0] and bool((mats[:, _COL[nm]] >= 0).any()))
 
     # Static material-capability gates for the fused megakernel: a scene
     # with no subsurface / clearcoat / transmissive / fresnel-illum /
@@ -479,6 +484,7 @@ def pack_scene(scene, config: RenderConfig,
         imp_fn_ids=tuple(imp_fn_ids),
         has_maps=has_maps,
         has_normal_maps=has_normal_maps,
+        maps_present=maps_present,
         has_rotated_ellipsoids=bool(
             np.any(np.abs(np.asarray(scene.ell_rot, np.float32)) > 0)
         ),
@@ -534,6 +540,11 @@ class StaticSceneInfo(NamedTuple):
     # gates for the mapMtl and TBN stages)
     has_maps: bool = True
     has_normal_maps: bool = True
+    # static set of map channels actually referenced by some material —
+    # apply_maps skips the other channels' samples entirely
+    maps_present: tuple = ("map_Ka", "map_Kd", "map_Ks", "map_Ke", "map_d",
+                           "map_Tr", "map_Ns", "map_Pm", "map_Pr", "map_Ps",
+                           "map_Pc")
     # Any analytic primitive carries a nonzero rotation (compile-time gate
     # for the per-ray rotation-matrix math in the merge/normal paths)
     has_rotated_ellipsoids: bool = True

@@ -73,17 +73,27 @@ def decode(materials, mat_idx):
     ), rec
 
 
-def apply_maps(m: Mtl, rec, uv, tex_data, tex_sizes, enable: bool = True):
+def apply_maps(m: Mtl, rec, uv, tex_data, tex_sizes, enable: bool = True,
+               present=None):
     """mapMtl (frag.glsl:210-225). `rec` is the raw record (for map indices).
     Set enable=False to compile a texture-free fast path when the scene has
-    no material maps."""
+    no material maps; `present` (a static tuple of map channel names,
+    StaticSceneInfo.maps_present) skips the bilinear sample of every
+    channel no material in the scene maps — the reference pays all 11
+    samples per bounce unconditionally."""
     if not enable:
         return m
+    if present is None:
+        present = ("map_Ka", "map_Kd", "map_Ks", "map_Ke", "map_d",
+                   "map_Tr", "map_Ns", "map_Pm", "map_Pr", "map_Ps",
+                   "map_Pc")
 
     def idx(name):
         return rec[..., COL[name]].astype(jnp.int32)
 
     def override_rgb(field, map_name, multiply):
+        if map_name not in present:
+            return field
         map_i = idx(map_name)
         has = map_i > -1
         tex = sample_bilinear(tex_data, tex_sizes, jnp.maximum(map_i, 0), uv)
@@ -92,6 +102,8 @@ def apply_maps(m: Mtl, rec, uv, tex_data, tex_sizes, enable: bool = True):
         return jnp.where(has[..., None], tex, field)
 
     def override_scalar(field, map_name):
+        if map_name not in present:
+            return field
         map_i = idx(map_name)
         has = map_i > -1
         tex = sample_bilinear(
