@@ -34,7 +34,7 @@ import numpy as np
 
 TRIS_PER_ROW = 14      # 14 * 9 floats = 126 of 128 lanes
 TREELET_ROWS = 128     # rows per HBM treelet: 128 * 128 * 4 B = 64 KB DMA
-SUB_GROUP_ROWS = 2     # triangle rows per subtree leaf: each internal
+SUB_GROUP_ROWS = 4     # triangle rows per subtree leaf: each internal
                        # subtree node costs one serializing vector->scalar
                        # sync in the kernel, so leaves cover GROUPS of rows
                        # (4 rows = 15 internal nodes/treelet instead of 31;

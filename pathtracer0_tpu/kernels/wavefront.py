@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-SUB_GROUP_ROWS = 2  # rows per subtree leaf — must match accel/lbvh.py
+SUB_GROUP_ROWS = 4  # rows per subtree leaf — must match accel/lbvh.py
 MISS = np.float32(1e30)
 EPSILON = np.float32(1e-10)
 STACK_DEPTH = 160
