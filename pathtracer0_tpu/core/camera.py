@@ -39,22 +39,11 @@ def pixel_centers(width: int, height: int):
 
 
 def pixel_centers_soa(width: int, height: int):
-    """Component-planar variant of `pixel_centers`: returns (uv2 (2, H*W),
-    index (H*W,)) with no (N, 2) transpose — the layout the fused frame
-    kernel consumes directly."""
-    px = jnp.arange(width, dtype=jnp.float32)
-    py = jnp.arange(height, dtype=jnp.float32)
-    u = (px + 0.5) / jnp.float32(width)
-    v = (py + 0.5) / jnp.float32(height)
-    uu, vv = jnp.meshgrid(u, v, indexing="xy")  # (H, W)
-    uv2 = jnp.stack([uu.ravel(), vv.ravel()], axis=0)
-    iy, ix = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.uint32),
-        jnp.arange(width, dtype=jnp.uint32),
-        indexing="ij",
-    )
-    index = (iy * jnp.uint32(width) + ix).ravel()
-    return uv2, index
+    """Component-planar variant of `pixel_centers`: (uv2 (2, H*W), index).
+    The transpose fuses into the iota producers under jit, so this is a
+    layout convenience for the fused frame kernel, not a copy."""
+    uv, index = pixel_centers(width, height)
+    return uv.T, index
 
 
 def primary_directions(uv, rotation, cam_size, focal_length, screen_h_ratio):

@@ -534,8 +534,11 @@ def _trace_core(
         if gate_trans:
             Tr = field(mat, 11)
             Tfr, Tfg, Tfb = field(mat, 12), field(mat, 13), field(mat, 14)
-            Ni = field(mat, 15)
             Density = field(mat, 19)
+        if use_stack:
+            # Ni feeds the refraction-index stack push, which is live for
+            # fresnel-illum scenes even without any transmissive material
+            Ni = field(mat, 15)
         if gate_emit:
             Ker, Keg, Keb = field(mat, 16), field(mat, 17), field(mat, 18)
         if gate_fresnel:
@@ -1282,32 +1285,52 @@ def render_fused_frame(scene, info, params, cam_pos, cam_rot, frame_seed,
         jnp.zeros((3,), jnp.float32),
     ])
 
-    inc, mc, dout, _state, rays = trace_frame(
-        uv2, alive, seed, scal,
-        scene.materials, scene.ell_tab, scene.imp_tab,
-        scene.fs_tris, scene.fs_attr,
-        spp=spp,
-        max_bounces=params.max_bounces,
-        stack_size=params.refraction_stack,
-        block_rows=block_rows,
-        ell_rotated=info.ell_rotated[: info.num_ellipsoids],
-        imp_rotated=info.imp_rotated[: info.num_implicits],
-        imp_fn_ids=info.imp_fn_ids[: info.num_implicits],
-        cam_size=cam_size,
-        focal_length=focal_length,
-        h_ratio=height / float(width),
-        blur=blur,
-        gates=getattr(info, "mat_gates", (True,) * 5),
-        whitted=whitted,
-        interpret=interpret,
-    )
-    # deferred sky over all (spp, R) miss records in one batched pass,
-    # where-masked per channel exactly like trace_fused
-    sr, sg, sb = sky_color_soa(
-        scene.tex_data, scene.tex_sizes, dout[:, 0], dout[:, 1], dout[:, 2])
-    ir = inc[0] + jnp.sum(jnp.where(mc[:, 0] > 0.0, sr * mc[:, 0], 0.0), 0)
-    ig = inc[1] + jnp.sum(jnp.where(mc[:, 1] > 0.0, sg * mc[:, 1], 0.0), 0)
-    ib = inc[2] + jnp.sum(jnp.where(mc[:, 2] > 0.0, sb * mc[:, 2], 0.0), 0)
+    # The per-sample miss slabs (mc + dout) cost 2 * spp * 3 * R floats of
+    # HBM; chunk the sample axis so deferral stays O(chunk * R) at any
+    # samples_per_frame. The RNG stream is chunk-invariant: each chunk's
+    # input state is the previous chunk's output state, exactly the
+    # carried per-pixel stream of an unchunked launch.
+    SPP_CHUNK = 32
+    ir = jnp.zeros((n_pad,), jnp.float32)
+    ig = jnp.zeros((n_pad,), jnp.float32)
+    ib = jnp.zeros((n_pad,), jnp.float32)
+    rays = jnp.zeros((), jnp.float32)
+    state = seed
+    done = 0
+    while done < spp:
+        k = min(SPP_CHUNK, spp - done)
+        inc, mc, dout, state, r = trace_frame(
+            uv2, alive, state, scal,
+            scene.materials, scene.ell_tab, scene.imp_tab,
+            scene.fs_tris, scene.fs_attr,
+            spp=k,
+            max_bounces=params.max_bounces,
+            stack_size=params.refraction_stack,
+            block_rows=block_rows,
+            ell_rotated=info.ell_rotated[: info.num_ellipsoids],
+            imp_rotated=info.imp_rotated[: info.num_implicits],
+            imp_fn_ids=info.imp_fn_ids[: info.num_implicits],
+            cam_size=cam_size,
+            focal_length=focal_length,
+            h_ratio=height / float(width),
+            blur=blur,
+            gates=getattr(info, "mat_gates", (True,) * 5),
+            whitted=whitted,
+            interpret=interpret,
+        )
+        # deferred sky over this chunk's (k, R) miss records in one
+        # batched pass, where-masked per channel exactly like trace_fused
+        sr, sg, sb = sky_color_soa(
+            scene.tex_data, scene.tex_sizes,
+            dout[:, 0], dout[:, 1], dout[:, 2])
+        ir = ir + inc[0] + jnp.sum(
+            jnp.where(mc[:, 0] > 0.0, sr * mc[:, 0], 0.0), 0)
+        ig = ig + inc[1] + jnp.sum(
+            jnp.where(mc[:, 1] > 0.0, sg * mc[:, 1], 0.0), 0)
+        ib = ib + inc[2] + jnp.sum(
+            jnp.where(mc[:, 2] > 0.0, sb * mc[:, 2], 0.0), 0)
+        rays = rays + r
+        done += k
     col = jnp.stack([ir, ig, ib], axis=-1)[:n] / jnp.float32(spp)
     return col, rays
 

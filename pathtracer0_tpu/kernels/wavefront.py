@@ -405,7 +405,7 @@ def _streamed_kernel(
                 ok, (row0 + row) * leaf_cap + j, idx_ref[...]
             )
 
-    def test_treelet(t_id, slot, tmax):
+    def test_treelet(t_id, slot):
         """Retire one DMA'd treelet with PER-RAY group gating at the cost
         of ONE vector->scalar sync: every group AABB is slab-tested against
         every ray's current closest-t (clamped by its root-slab ceiling),
@@ -416,6 +416,10 @@ def _streamed_kernel(
         t_cur = jnp.minimum(t_ref[...] / td_ref[...], gate_ceiling)
         bt_ref[gi, 0] = bt_ref[gi, 0] + n_groups
         n_words = -(-n_groups // 32)
+        # gbody's word select below handles exactly 1 or 2 mask words;
+        # raising TREELET_ROWS/SUB_GROUP_ROWS past 64 groups needs a
+        # general select or groups get gated by the wrong bit
+        assert n_words <= 2, (n_groups, "extend the word select in gbody")
         words = []
         for w in range(n_words):
             # uint32 want-bit mask for groups [32w, 32w+32)
@@ -510,7 +514,7 @@ def _streamed_kernel(
             prows, psub = start_dmas(pend_id, pend_slot)
             prows.wait()
             psub.wait()
-            test_treelet(pend_id, pend_slot, tmax)
+            test_treelet(pend_id, pend_slot)
 
         # refresh the block's worst gate-t after each retired treelet
         # (ONE sync; Morton-front-to-back order shrinks it early, pruning
@@ -530,7 +534,7 @@ def _streamed_kernel(
             prows, psub = start_dmas(pid, slot)
             prows.wait()
             psub.wait()
-            test_treelet(pid, slot, tmax)
+            test_treelet(pid, slot)
             return sp, jnp.int32(-1), slot, tmax
 
         def step(c):

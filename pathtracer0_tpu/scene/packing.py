@@ -17,6 +17,17 @@ from ..config import RenderConfig
 from ..accel import bvh as bvh_mod
 from .material import pack_materials
 
+# Wavefront-table VMEM budget shared by the post-build wf_ok gate and the
+# pre-build streaming-policy estimate (they MUST agree, or mid-size scenes
+# fall into the gap between the packet and streamed paths).
+WF_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _wf_vmem_bytes(n_node_rows: int, n_tri_rows: int) -> int:
+    """VMEM footprint of the packet-kernel tables: node rows pad their
+    8/4-float lanes to full 128-lane tiles; triangle rows are 128 wide."""
+    return n_node_rows * 128 * 4 + n_tri_rows * 512
+
 
 class DeviceScene(NamedTuple):
     # Triangles (SSBO binding 3, dispatch.java:383-426)
@@ -165,13 +176,13 @@ def pack_scene(scene, config: RenderConfig,
 
     _eff_leaf = max_leaf if max_leaf is not None else config.max_tris_in_leaf
     _leaves_est = -(-n_tri // max(min(_eff_leaf, 14), 1))
-    # nodes ~= 2 * leaves; nodes_f/nodes_i rows pad their lanes to full
-    # 128-lane tiles in VMEM, tri rows are 128 lanes wide already
-    _wf_vmem_est = 2 * _leaves_est * 2 * 128 * 4 + _leaves_est * 512
+    # pre-build estimate through the SAME footprint formula the post-build
+    # wf_ok gate uses: nodes ~= 2 * leaves for a binary forest, and BOTH
+    # node tables (f32 + i32) contribute a row per node
     _wf_would_fail = (
         len(object_ranges) > _MAX_ROOTS
         or _eff_leaf > 14
-        or _wf_vmem_est > 8 * 1024 * 1024
+        or _wf_vmem_bytes(4 * _leaves_est, _leaves_est) > WF_VMEM_BUDGET
     )
     streamed = n_tri > config.stream_threshold or (
         n_tri > FUSED_MAX_TRIS and _wf_would_fail)
@@ -267,8 +278,11 @@ def pack_scene(scene, config: RenderConfig,
         n3_all = field("n3", 3, np.float32)
         mat_all = field("mat", 0, np.float32)
         smooth_all = field("has_smooth", 0, np.float32)
-        n_fs_rows = -(-len(order) // TRI_CAP)
-        n_fa_rows = -(-len(order) // ATTR_CAP)
+        # >= 2 rows so a REAL table is distinguishable from the 1-row
+        # zero placeholder (the kernels use shape[0] > 1 as the has-tris
+        # sentinel; all-zero padding rows self-mask via det == 0)
+        n_fs_rows = max(-(-len(order) // TRI_CAP), 2)
+        n_fa_rows = max(-(-len(order) // ATTR_CAP), 2)
         fs_tris = np.zeros((n_fs_rows, 128), np.float32)
         fs_attr = np.zeros((n_fa_rows, 128), np.float32)
         for k, tid in enumerate(order):
@@ -463,9 +477,8 @@ def pack_scene(scene, config: RenderConfig,
         tex_data=tex_data,
         tex_sizes=tex_sizes,
     )
-    # VMEM cost: node rows pad their 8/4-float lanes to full 128-lane tiles
-    wf_vmem = (wf_nodes_f.shape[0] + wf_nodes_i.shape[0]) * 128 * 4 \
-        + wf_tris.nbytes
+    wf_vmem = _wf_vmem_bytes(
+        wf_nodes_f.shape[0] + wf_nodes_i.shape[0], wf_tris.shape[0])
     info = StaticSceneInfo(
         num_objects=int(forest.roots.shape[0]),
         num_ellipsoids=len(scene.ell_rad),
@@ -475,7 +488,7 @@ def pack_scene(scene, config: RenderConfig,
             wf_feasible
             and len(forest.roots) > 0
             and len(forest.roots) <= MAX_ROOTS
-            and wf_vmem <= 8 * 1024 * 1024
+            and wf_vmem <= WF_VMEM_BUDGET
         ),
         fused_ok=fs_dense_ok and len(forest.roots) > 0,
         mat_gates=mat_gates,

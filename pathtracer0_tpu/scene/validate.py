@@ -31,7 +31,7 @@ def _check_mat(name, indices, n_mats):
     idx = np.asarray(indices, np.int64).ravel()
     if idx.size == 0:
         return
-    bad = (idx < 0) | (idx >= max(n_mats, 1))
+    bad = (idx < 0) | (idx >= n_mats)
     if bad.any():
         k = int(np.flatnonzero(bad)[0])
         raise SceneValidationError(
@@ -95,7 +95,7 @@ def validate_scene(scene) -> None:
                     "map_Tr", "map_Ns", "map_Pm", "map_Pr", "map_Ps",
                     "map_Pc", "map_Pcr", "map_norm"):
             v = int(getattr(m, fld))
-            if v != -1 and not 0 <= v < max(n_tex, 1):
+            if v != -1 and not 0 <= v < n_tex:
                 raise SceneValidationError(
                     f"material[{mi}] ('{m.name}') {fld} = {v}, but the "
                     f"scene has {n_tex} texture(s)")

@@ -158,6 +158,54 @@ def test_frame_kernel_whitted_parity():
     assert rb == ra
 
 
+def test_fresnel_without_transmission():
+    """Regression (round-3 review finding 1): a fresnel-illum material with
+    NO transmissive material in the scene (gate_fresnel without gate_trans)
+    must not crash the fused path — Ni feeds the live refraction stack."""
+    sc = Scene()
+    sc.set_constant_sky((0.4, 0.5, 0.7))
+    sc.add_material("mirror5")
+    sc.set_last_mtl("illum", 5)
+    sc.set_last_mtl("Pm", 1.0)
+    sc.set_last_mtl("Ni", 1.4)
+    sc.add_sphere((0, 0, 3), 1.0, m=0)
+    dev, info = sc.build()
+    assert info.mat_gates[3] and not info.mat_gates[2]  # fresnel, no trans
+    p = TraceParams(max_bounces=3, fused="interpret", pallas="off")
+    assert fused.eligible(info, dev, p)
+    uv, index = camera.pixel_centers(16, 12)
+    d = camera.primary_directions(
+        uv, jnp.zeros(3, jnp.float32), 1.5, 1.0, 12 / 16)
+    o = jnp.zeros_like(d)
+    inc, st, rays = trace(o, d, vrng.seed(index, 5), dev, info, p)
+    assert np.isfinite(np.asarray(inc)).all()
+
+
+def test_tiny_triangle_scene_not_dropped():
+    """Regression (round-3 review finding 2): a scene whose dense fused
+    table is exactly one row (1-14 triangles) must still intersect its
+    triangles — the 1-row zero placeholder sentinel used to swallow them."""
+    sc = Scene()
+    sc.set_constant_sky((0.0, 0.0, 0.0))
+    sc.add_material("glow")
+    sc.set_last_mtl("Ke", (2.0, 0.0, 0.0))
+    sc.add_tri((-2, -2, 4), (2, -2, 4), (0, 2.5, 4), 0)  # facing the camera
+    dev, info = sc.build()
+    assert dev.fs_tris.shape[0] > 1  # real table, not the placeholder
+    p_ref = TraceParams(max_bounces=2, fused="off", pallas="off")
+    p_fus = TraceParams(max_bounces=2, fused="interpret", pallas="off")
+    assert fused.eligible(info, dev, p_fus)
+    uv, index = camera.pixel_centers(16, 12)
+    d = camera.primary_directions(
+        uv, jnp.zeros(3, jnp.float32), 1.5, 1.0, 12 / 16)
+    o = jnp.zeros_like(d)
+    inc0, _, _ = trace(o, d, vrng.seed(index, 5), dev, info, p_ref)
+    inc1, _, _ = trace(o, d, vrng.seed(index, 5), dev, info, p_fus)
+    assert float(jnp.mean(inc0[:, 0])) > 0.1  # the emissive tri is visible
+    assert abs(float(jnp.mean(inc1[:, 0])) -
+               float(jnp.mean(inc0[:, 0]))) < 1e-3
+
+
 def test_not_eligible_with_maps():
     """Scenes with texture maps must fall back to the per-bounce path."""
     sc = Scene()
