@@ -75,6 +75,14 @@ ATTR_CAP = 12
 # Bigger scenes traverse the packet/streamed BVH kernels instead.
 FUSED_MAX_TRIS = 2048
 
+# Conservative LOCAL-frame bounding radii of the bounded implicit surfaces
+# (shade/implicits.py formulas): the fused marcher skips whole ray blocks
+# whose rays all miss the bounding sphere — one vector->scalar sync buys
+# skipping a ~6k-op march (measured 36% of the config-4 frame). Unbounded
+# surfaces (2 waves, 4 tractor beam, 5 golden-ratio) march unconditionally.
+IMP_BOUND_RADIUS = {1: 4.0, 3: 2.0, 6: 18.0, 7: 2.6, 8: 8.0, 9: 8.5,
+                    10: 9.5}
+
 _MASK = 0xFFFFFFFF
 _MUL = 747796405
 _INC = 2891336453
@@ -329,11 +337,52 @@ def _closest_hit(
             return fimp(px * px, py * py, pz * pz, px, py, pz)
 
         dt = jnp.float32(march_tmax / march_steps)
-        fprev = feval(Ox, Oy, Oz)
+        bound_r = IMP_BOUND_RADIUS.get(imp_fn_ids[k])
+        if bound_r is not None:
+            # Windowed march over the block's bounding-sphere chord: every
+            # zero crossing of a BOUNDED surface (continuous or not) needs
+            # |p_local| <= R, so only lattice samples inside the block's
+            # conservative [entry, exit] window can bracket a root. The
+            # window SNAPS to the original 0-based sample lattice (floor/
+            # ceil to step indices, one pair of margin steps), so detection
+            # is bit-identical to the full 0..march_tmax march — just
+            # without the provably-rootless steps. Blocks whose rays all
+            # miss the sphere skip marching entirely. 3 scalar syncs.
+            sa = Dx * Dx + Dy * Dy + Dz * Dz
+            sb = 2.0 * (Ox * Dx + Oy * Dy + Oz * Dz)
+            scq = (Ox * Ox + Oy * Oy + Oz * Oz
+                   - jnp.float32(bound_r * bound_r))
+            sdisc = sb * sb - 4.0 * sa * scq
+            sqd = jnp.sqrt(jnp.maximum(sdisc, 0.0))
+            s_enter = (-sb - sqd) / (2.0 * sa)
+            s_exit = (-sb + sqd) / (2.0 * sa)
+            s_hit = (sdisc > 0.0) & (s_exit > 0.0) & (alive > 0)
+            n_want = jnp.sum(s_hit.astype(jnp.int32))
+            BIGT = jnp.float32(3e38)
+            min_enter = jnp.min(jnp.where(
+                s_hit, jnp.maximum(s_enter, 0.0), BIGT))
+            max_exit = jnp.max(jnp.where(s_hit, s_exit, 0.0))
+            start_idx = jnp.maximum(
+                jnp.floor(min_enter / dt) - 1.0, 0.0)
+            end_idx = jnp.minimum(jnp.ceil(max_exit / dt) + 1.0,
+                                  jnp.float32(march_steps))
+            eff_steps = jnp.where(
+                n_want > 0,
+                jnp.maximum(end_idx - start_idx, 0.0), 0.0
+            ).astype(jnp.int32)
+            eff_bisect = jnp.where(n_want > 0, bisect_iters, 0)
+            base_t = start_idx * dt
+        else:
+            eff_steps = march_steps
+            eff_bisect = bisect_iters
+            base_t = jnp.float32(0.0)
+
+        fprev = feval(Ox + Dx * base_t, Oy + Dy * base_t,
+                      Oz + Dz * base_t)
 
         def coarse(i, carry):
             t_lo, t_hi, found, f_prev = carry
-            tc = dt * (i + 1.0)
+            tc = base_t + dt * (i + 1.0)
             f = feval(Ox + Dx * tc, Oy + Dy * tc, Oz + Dz * tc)
             sc = (found == 0) & (f_prev * f < 0.0)
             t_lo = jnp.where(sc, tc - dt, t_lo)
@@ -342,7 +391,7 @@ def _closest_hit(
             return t_lo, t_hi, found, f
 
         t_lo, t_hi, found, _ = jax.lax.fori_loop(
-            0, march_steps, coarse,
+            0, eff_steps, coarse,
             (f0, jnp.full(shape, jnp.float32(march_tmax)),
              jnp.zeros(shape, jnp.int32), fprev),
         )
@@ -360,7 +409,7 @@ def _closest_hit(
             return t_lo, t_hi, f_lo
 
         t_lo, t_hi, _ = jax.lax.fori_loop(
-            0, bisect_iters, bisect, (t_lo, t_hi, f_lo))
+            0, eff_bisect, bisect, (t_lo, t_hi, f_lo))
         tk = 0.5 * (t_lo + t_hi)
         ok = (found > 0) & (tk < t)
         # normal = +normalize(raw forward-difference gradient), rotated
