@@ -108,6 +108,11 @@ def run_config(n, rng, n_frames):
             [rng.randrange(1, 2 ** 31) for _ in range(n_frames)],
             jnp.uint32)
 
+    # config 1 is a ~9 ms whitted frame: amortize the ~24 ms tunnel
+    # dispatch over more accumulation frames, like a real progressive
+    # session does (the other configs are 10x longer per frame)
+    if n == 1:
+        n_frames = n_frames * 4
     sum0 = jnp.zeros((h, w, 3), jnp.float32)
     rays0 = jnp.zeros((), jnp.float32)
     _, r = render_frames_accum(dev, cam, rot, seeds(), sum0, rays0, **kw)
