@@ -132,6 +132,10 @@ def run_config(n, rng, n_frames):
         "samples_per_s": round(samples_s, 0),
         "rmse_vs_golden": None if rmse is None else round(rmse, 5),
         "est_full_frame_s": round(full_frame_s, 3),
+        # amortization regime (ADVICE r3 #5): dispatch overhead is spread
+        # over n_frames accumulation frames; throughput timed at time_spp
+        "n_frames": n_frames,
+        "time_spp": time_spp,
         "vs_baseline": round(mrays / 100.0, 4),
     }
 
@@ -159,12 +163,48 @@ def run_hero(rng, frames):
     mrays = (rays1 - rays0) / frames / dt / 1e6
     samples_s = cfg.width * cfg.height * cfg.samples_per_frame / dt
     t_target = HERO_SPP_TARGET / cfg.samples_per_frame * dt
+
+    # --- time-to-target-RMSE (BASELINE.md config 5) ---------------------
+    # Converged reference: keep accumulating the warm renderer; tracked
+    # run: a FRESH accumulation (independent seed stream) measured
+    # frame-by-frame against the reference in display space ([0,1] clip,
+    # like the golden RMSE). Wall time uses the dispatch-amortized dt from
+    # the throughput phase; if the target is not crossed within the
+    # tracked window, extrapolate with the 1/sqrt(n) MC convergence law.
+    target_rmse = 0.01
+    ref_frames = int(os.environ.get("BENCH_HERO_REF_FRAMES", "48"))
+    track_frames = int(os.environ.get("BENCH_HERO_TRACK_FRAMES", "16"))
+    r.render(frames=max(ref_frames - 2 * frames, 1), chunk=16)
+    ref_img = np.clip(np.asarray(r.display_image()), 0.0, 1.0)
+    r2 = Renderer(dev, info, cfg, cam_pos=np.asarray(cam, np.float32),
+                  cam_rot=np.asarray(rot, np.float32), seed=1)
+    n_cross = None
+    rmse_n = None
+    for nf in range(1, track_frames + 1):
+        img = np.clip(np.asarray(r2.render(frames=1)), 0.0, 1.0)
+        rmse_n = float(np.sqrt(np.mean((img - ref_img) ** 2)))
+        if rmse_n <= target_rmse:
+            n_cross = nf
+            break
+    if n_cross is not None:
+        t_rmse = n_cross * dt
+        measured = True
+    else:
+        n_est = track_frames * (rmse_n / target_rmse) ** 2
+        t_rmse = n_est * dt
+        measured = False
     return {
         "metric": "config5: progressive 1920x1080 hero, 8spp/frame",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "samples_per_s": round(samples_s, 0),
         "est_time_to_4096spp_s": round(t_target, 1),
+        "time_to_rmse_0.01_s": round(t_rmse, 1),
+        "rmse_track": {"frames": track_frames if n_cross is None
+                       else n_cross,
+                       "rmse": round(rmse_n, 5), "measured": measured,
+                       "ref_frames": ref_frames},
+        "n_frames": frames,
         "vs_baseline": round(mrays / 100.0, 4),
     }
 

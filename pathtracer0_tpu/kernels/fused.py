@@ -62,6 +62,17 @@ AIR_IOR = np.float32(1.0029)  # frag.glsl:816
 _INV32 = np.float32(1.0) / np.float32(4294967295.0)  # frag.glsl:693
 # attribute row layout: 10 floats per tri slot (n1 xyz, n2 xyz, n3 xyz, mat)
 ATTR_STRIDE = 10
+# UV/tangent row layout (texture-mapped scenes only): uv1, uv2, uv3 (2 each),
+# raw UV-space tangent (3), has_uv flag — resolved by committed id like attrs
+UVT_STRIDE = 10
+UVT_CAP = 12
+# In-kernel material-map limits: one image row per 128-lane table row caps
+# width at 42 texels (3 channels); the texel budget bounds the per-bounce
+# weight-accumulation cost (~5 VPU ops/texel/sample). Bigger maps keep the
+# XLA mapMtl path (scene/texture.sample_bilinear).
+MAP_MAX_H = 64
+MAP_MAX_W = 42
+MAP_TEXEL_BUDGET = 4096
 
 # dense fused-table packing (scene/packing.py): triangles at 14/row
 # (9 floats each), attributes at 12/row (ATTR_STRIDE floats each) — the
@@ -151,8 +162,168 @@ def _mat_field(mats_ref, n_mats, shape, mat, col):
     return v
 
 
+# Which Mtl field a mapped channel overrides and whether the sample
+# multiplies the base value (Ka/Kd) or replaces it (frag.glsl:210-225)
+_MAP_RGB = {"map_Ka": ("Ka", True), "map_Kd": ("Kd", True),
+            "map_Ks": ("Ks", False), "map_Ke": ("Ke", False)}
+_MAP_SCALAR = {"map_Tr": "Tr", "map_Pm": "Pm", "map_Pr": "Pr",
+               "map_Pc": "Pc"}
+
+
+def _sample_map_block(maps_ref, H, W, base, channels, tu, tv, need):
+    """Bilinear GL_REPEAT/GL_LINEAR sample of ONE packed material map for
+    every lane of the block, as a factorized weight accumulation: per-lane
+    wrapped tap coordinates (x0,x1,y0,y1 + fractions) turn into per-column
+    weights wx[j] (two nonzero per lane) and per-row weights wy, and the
+    texel loop accumulates wy*wx[j]*texel — exactly the 4-tap bilinear
+    result (all other texels contribute wy*wx == 0.0), just without a
+    per-lane gather, which Mosaic cannot do. The row loop's trip count
+    drops to 0 when NO lane in the block needs this map (`need`), so
+    blocks away from mapped materials skip the whole texel walk — one
+    scalar sync, same trick as the windowed implicit march.
+
+    Equivalent of scene/texture.sample_bilinear (frag.glsl:79-81) up to
+    summation order. channels=1 accumulates only R (scalar-channel maps)."""
+    shape = tu.shape
+    f0 = jnp.zeros(shape, jnp.float32)
+    n_want = jnp.sum(need.astype(jnp.int32))
+    Wf = jnp.float32(W)
+    Hf = jnp.float32(H)
+    x = tu * Wf - 0.5
+    y = tv * Hf - 0.5
+    x0 = jnp.floor(x)
+    fx = x - x0
+    y0 = jnp.floor(y)
+    fy = y - y0
+    # mod-to-[0,W) in f32: exact for tap indices < 2^23 / extent
+    x0w = x0 - jnp.floor(x0 / Wf) * Wf
+    x1w = x0w + 1.0
+    x1w = jnp.where(x1w >= Wf, x1w - Wf, x1w)
+    y0w = y0 - jnp.floor(y0 / Hf) * Hf
+    y1w = y0w + 1.0
+    y1w = jnp.where(y1w >= Hf, y1w - Hf, y1w)
+    wx = []
+    for jx in range(W):
+        jf = jnp.float32(jx)
+        wx.append(jnp.where(x0w == jf, 1.0 - fx, f0)
+                  + jnp.where(x1w == jf, fx, f0))
+    # Row window: only rows some lane actually taps contribute. A coherent
+    # (e.g. primary) block covers a small v-range, so [lo, hi) is a few
+    # rows of even a 32-row map; incoherent blocks degrade to the full
+    # range. Wrapped tap pairs (y1 < y0 across the seam) force min..max to
+    # span the seam — still correct, just unwindowed. 2 scalar syncs, same
+    # pattern as the windowed implicit march.
+    BIG = jnp.float32(1e9)
+    ymin = jnp.min(jnp.where(need, jnp.minimum(y0w, y1w), BIG))
+    ymax = jnp.max(jnp.where(need, jnp.maximum(y0w, y1w), -1.0))
+    lo = jnp.maximum(jnp.where(n_want > 0, ymin, 0.0),
+                     0.0).astype(jnp.int32)
+    hi = (jnp.minimum(jnp.where(n_want > 0, ymax, -1.0),
+                      jnp.float32(H - 1)) + 1.0).astype(jnp.int32)
+
+    def yrow(yi, acc):
+        ar, ag, ab = acc
+        yf = yi.astype(jnp.float32)
+        wy = (jnp.where(y0w == yf, 1.0 - fy, f0)
+              + jnp.where(y1w == yf, fy, f0))
+        row = base + yi
+        for jx in range(W):
+            wxy = wy * wx[jx]
+            ar = ar + wxy * maps_ref[row, 3 * jx]
+            if channels == 3:
+                ag = ag + wxy * maps_ref[row, 3 * jx + 1]
+                ab = ab + wxy * maps_ref[row, 3 * jx + 2]
+        return ar, ag, ab
+
+    ar, ag, ab = jax.lax.fori_loop(lo, hi, yrow, (f0, f0, f0))
+    return ar, ag, ab
+
+
+def _apply_maps_kernel(maps_ref, map_shapes, map_bindings, used, mat,
+                       is_hit, texinfo, fields, normal):
+    """In-kernel mapMtl + TBN normal mapping (frag.glsl:210-225 +
+    shade/mtl.apply_maps/shading_normal semantics). `fields` maps field
+    names ("Kd", "Tr", ...) to block arrays (rgb tuples or scalars) — only
+    the fields the calling integrator actually reads need be present;
+    `used` is the static set of map channels to honor. Samples each
+    needed map slot once and applies per-material overrides by the
+    committed material id. Returns (fields, normal) updated."""
+    tu, tv, twx, twy, twz, uvok = texinfo
+    shape = tu.shape
+    f0 = jnp.zeros(shape, jnp.float32)
+    act = [b for b in map_bindings if b[0] in used]
+    if not act:
+        return fields, normal
+    slot_ch = {}
+    for ch, mid, slot in act:
+        c = 3 if (ch in _MAP_RGB or ch == "map_norm") else 1
+        slot_ch[slot] = max(slot_ch.get(slot, 1), c)
+    samples = {}
+    for slot in sorted(slot_ch):
+        need = jnp.zeros(shape, bool)
+        for ch, mid, s2 in act:
+            if s2 == slot:
+                need = need | (mat == jnp.float32(mid))
+        need = need & is_hit
+        h, w, base = map_shapes[slot]
+        samples[slot] = _sample_map_block(
+            maps_ref, h, w, base, slot_ch[slot], tu, tv, need)
+    fields = dict(fields)
+    for ch, mid, slot in act:
+        sr, sg, sb = samples[slot]
+        meq = mat == jnp.float32(mid)
+        if ch in _MAP_RGB:
+            name, multiply = _MAP_RGB[ch]
+            fr, fg, fb = fields[name]
+            if multiply:
+                fields[name] = (jnp.where(meq, fr * sr, fr),
+                                jnp.where(meq, fg * sg, fg),
+                                jnp.where(meq, fb * sb, fb))
+            else:
+                fields[name] = (jnp.where(meq, sr, fr),
+                                jnp.where(meq, sg, fg),
+                                jnp.where(meq, sb, fb))
+        elif ch in _MAP_SCALAR:
+            name = _MAP_SCALAR[ch]
+            fields[name] = jnp.where(meq, sr, fields[name])
+    norm_binds = [b for b in act if b[0] == "map_norm"]
+    if norm_binds:
+        nx, ny, nz = normal
+        # Gram-Schmidt the raw UV tangent against the committed shading
+        # normal + normalize (kernels/intersect.compute_tangent), zeroed
+        # for non-UV hits exactly like traverse.surface_sample
+        ndt = twx * nx + twy * ny + twz * nz
+        gx = twx - nx * ndt
+        gy = twy - ny * ndt
+        gz = twz - nz * ndt
+        gm = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+        gx = jnp.where(uvok, gx / gm, f0)
+        gy = jnp.where(uvok, gy / gm, f0)
+        gz = jnp.where(uvok, gz / gm, f0)
+        bx = ny * gz - nz * gy
+        by = nz * gx - nx * gz
+        bz = nx * gy - ny * gx
+        for ch, mid, slot in norm_binds:
+            sr, sg, sb = samples[slot]
+            ax = sr * 2.0 - 1.0
+            ay = sg * 2.0 - 1.0
+            az = sb * 2.0 - 1.0
+            mx = gx * ax + bx * ay + nx * az
+            my = gy * ax + by * ay + ny * az
+            mz = gz * ax + bz * ay + nz * az
+            mm = jnp.maximum(
+                jnp.sqrt(mx * mx + my * my + mz * mz),
+                jnp.float32(1e-20))
+            meq = mat == jnp.float32(mid)
+            nx = jnp.where(meq, mx / mm, nx)
+            ny = jnp.where(meq, my / mm, ny)
+            nz = jnp.where(meq, mz / mm, nz)
+        normal = (nx, ny, nz)
+    return fields, normal
+
+
 def _closest_hit(
-    tris_ref, attr_ref, ell_ref, imp_ref,
+    tris_ref, attr_ref, uvt_ref, ell_ref, imp_ref,
     onx, ony, onz, dx, dy, dz, alive,
     *,
     n_rows: int,
@@ -165,11 +336,16 @@ def _closest_hit(
     march_steps: int,
     bisect_iters: int,
     march_tmax: float,
+    n_uvt_rows: int = 0,
+    textured: bool = False,
 ):
     """Closest hit over the dense fused triangle rows + analytic
     primitives, at VPU block shape. Returns (t, nx, ny, nz, mat f32,
-    is_hit) — the shared scene query of the path (_trace_core) and
-    Whitted (_frame_kernel whitted mode) in-kernel integrators."""
+    is_hit, texinfo) — the shared scene query of the path (_trace_core)
+    and Whitted (_frame_kernel whitted mode) in-kernel integrators.
+    texinfo is None unless `textured`, else (tu, tv, twx, twy, twz, uvok):
+    the flipped GL uv (-1 for non-triangle / no-UV hits, matching
+    traverse.surface_sample), raw UV tangent, and the has-UV mask."""
     shape = alive.shape
     f0 = jnp.zeros(shape, jnp.float32)
     nx = f0
@@ -178,6 +354,13 @@ def _closest_hit(
     # material id carried as f32 (Mosaic lacks f32<->i32 vector/scalar
     # truncation on this target); select-chains compare against f32
     mat = f0
+    kind = f0  # 1 tri, 2 implicit, 3 ellipsoid (frag.glsl:640 'type')
+    tur = f0
+    tvr = f0
+    twx = f0
+    twy = f0
+    twz = f0
+    huv = f0
 
     if n_rows > 0:
         # Division-free Moller-Trumbore over the DENSE fs_tris rows
@@ -300,6 +483,41 @@ def _closest_hit(
         nx = jnp.where(smooth, nix / mag, a1x)
         ny = jnp.where(smooth, niy / mag, a1y)
         nz = jnp.where(smooth, niz / mag, a1z)
+        if textured:
+            kind = jnp.where(hid >= 0.0, jnp.float32(1.0), f0)
+            # UV + raw-tangent resolve by committed id over the dense
+            # fs_uvt rows (UVT_CAP slots/row) — only compiled for scenes
+            # with in-kernel maps, so untextured scenes pay nothing
+            u1x = f0
+            u1y = f0
+            u2x = f0
+            u2y = f0
+            u3x = f0
+            u3y = f0
+
+            def uvt_body(row, carry):
+                u1x, u1y, u2x, u2y, u3x, u3y, twx, twy, twz, huv = carry
+                for j in range(UVT_CAP):
+                    a = UVT_STRIDE * j
+                    eq = hid == jnp.float32(row * UVT_CAP + j)
+                    u1x = jnp.where(eq, uvt_ref[row, a + 0], u1x)
+                    u1y = jnp.where(eq, uvt_ref[row, a + 1], u1y)
+                    u2x = jnp.where(eq, uvt_ref[row, a + 2], u2x)
+                    u2y = jnp.where(eq, uvt_ref[row, a + 3], u2y)
+                    u3x = jnp.where(eq, uvt_ref[row, a + 4], u3x)
+                    u3y = jnp.where(eq, uvt_ref[row, a + 5], u3y)
+                    twx = jnp.where(eq, uvt_ref[row, a + 6], twx)
+                    twy = jnp.where(eq, uvt_ref[row, a + 7], twy)
+                    twz = jnp.where(eq, uvt_ref[row, a + 8], twz)
+                    huv = jnp.where(eq, uvt_ref[row, a + 9], huv)
+                return (u1x, u1y, u2x, u2y, u3x, u3y, twx, twy, twz, huv)
+
+            (u1x, u1y, u2x, u2y, u3x, u3y, twx, twy, twz, huv) = (
+                jax.lax.fori_loop(
+                    0, n_uvt_rows, uvt_body,
+                    (u1x, u1y, u2x, u2y, u3x, u3y, twx, twy, twz, huv)))
+            tur = u1x * w + u2x * u + u3x * v
+            tvr = u1y * w + u2y * u + u3y * v
     else:
         t = jnp.where(alive > 0, MISS, 0.0)
 
@@ -435,6 +653,8 @@ def _closest_hit(
         ny = jnp.where(ok, gy, ny)
         nz = jnp.where(ok, gz, nz)
         mat = jnp.where(ok, imp_ref[k, 7], mat)
+        if textured:
+            kind = jnp.where(ok, jnp.float32(2.0), kind)
 
     # ---- ellipsoids (frag.glsl:606-631) ------------------------------
     for e in range(n_ell):
@@ -492,14 +712,26 @@ def _closest_hit(
         ny = jnp.where(ok, ly, ny)
         nz = jnp.where(ok, lz, nz)
         mat = jnp.where(ok, ell_ref[e, 7], mat)
-
+        if textured:
+            kind = jnp.where(ok, jnp.float32(3.0), kind)
 
     is_hit = (alive > 0) & (t < jnp.float32(1e25))
-    return t, nx, ny, nz, mat, is_hit
+    if textured:
+        # GL flips v for mesh UVs (frag.glsl:513); non-triangle and no-UV
+        # hits carry uv = -1 and a zero tangent, exactly like
+        # traverse.surface_sample (REPEAT wrap still samples at -1)
+        uvok = (kind == 1.0) & (huv > 0.5)
+        neg1 = jnp.full(shape, jnp.float32(-1.0))
+        tu = jnp.where(uvok, tur, neg1)
+        tv = jnp.where(uvok, 1.0 - tvr, neg1)
+        texinfo = (tu, tv, twx, twy, twz, uvok)
+    else:
+        texinfo = None
+    return t, nx, ny, nz, mat, is_hit, texinfo
 
 
 def _trace_core(
-    mats_ref, ell_ref, imp_ref, tris_ref, attr_ref,
+    mats_ref, ell_ref, imp_ref, tris_ref, attr_ref, uvt_ref, maps_ref,
     ox0, oy0, oz0, dx0, dy0, dz0, alive0, state0,
     *,
     max_bounces: int,
@@ -520,6 +752,9 @@ def _trace_core(
     gate_trans: bool = True,
     gate_fresnel: bool = True,
     gate_emit: bool = True,
+    n_uvt_rows: int = 0,
+    map_shapes: tuple = (),
+    map_bindings: tuple = (),
 ):
     """The in-kernel bounce loop shared by the per-sample megakernel
     (`_fused_kernel`) and the whole-frame kernel (`_frame_kernel`).
@@ -555,14 +790,15 @@ def _trace_core(
         onz = oz + jnp.float32(1e-4) * dz
 
         # ---- closest hit: t + committed shading normal + material -------
-        t, nx, ny, nz, mat, is_hit = _closest_hit(
-            tris_ref, attr_ref, ell_ref, imp_ref,
+        t, nx, ny, nz, mat, is_hit, texinfo = _closest_hit(
+            tris_ref, attr_ref, uvt_ref, ell_ref, imp_ref,
             onx, ony, onz, dx, dy, dz, alive,
             n_rows=n_rows, n_attr_rows=n_attr_rows, n_ell=n_ell,
             n_imp=n_imp, ell_rotated=ell_rotated,
             imp_rotated=imp_rotated, imp_fn_ids=imp_fn_ids,
             march_steps=march_steps, bisect_iters=bisect_iters,
             march_tmax=march_tmax,
+            n_uvt_rows=n_uvt_rows, textured=bool(map_bindings),
         )
         is_miss = (alive > 0) & ~is_hit
 
@@ -599,6 +835,36 @@ def _trace_core(
             Pcr = field(mat, 28)
         if gate_ss:
             subsurface = field(mat, 41)
+
+        # ---- in-kernel mapMtl + normal mapping (frag.glsl:210-225) -------
+        # Only channels this integrator reads are honored; the XLA path
+        # samples-and-discards the others, so outputs agree.
+        if map_bindings:
+            used = {"map_Kd", "map_Pm", "map_Pr", "map_norm"}
+            flds = {"Kd": (Kdr, Kdg, Kdb), "Pm": Pm, "Pr": Pr}
+            if gate_cc:
+                used |= {"map_Ks", "map_Pc"}
+                flds["Ks"] = (Ksr, Ksg, Ksb)
+                flds["Pc"] = Pc
+            if gate_trans:
+                used.add("map_Tr")
+                flds["Tr"] = Tr
+            if gate_emit:
+                used.add("map_Ke")
+                flds["Ke"] = (Ker, Keg, Keb)
+            flds, (nx, ny, nz) = _apply_maps_kernel(
+                maps_ref, map_shapes, map_bindings, used, mat, is_hit,
+                texinfo, flds, (nx, ny, nz))
+            Kdr, Kdg, Kdb = flds["Kd"]
+            Pm = flds["Pm"]
+            Pr = flds["Pr"]
+            if gate_cc:
+                Ksr, Ksg, Ksb = flds["Ks"]
+                Pc = flds["Pc"]
+            if gate_trans:
+                Tr = flds["Tr"]
+            if gate_emit:
+                Ker, Keg, Keb = flds["Ke"]
 
         # ---- normal flip by sign(N.D) (frag.glsl:829-830) ----------------
         nd = _dot3(nx, ny, nz, dx, dy, dz)
@@ -888,6 +1154,8 @@ def _fused_kernel(
     imp_ref,        # (I, 17) f32: shift(3), scale(3), pad, mat, rotmat(9)
     tris_ref,       # (L, 128) f32 leaf-packed v1/e1/e2 rows (wavefront fmt)
     attr_ref,       # (L, 128) f32 attr rows: slot j at [10j, 10j+10)
+    uvt_ref,        # (Lu, 128) f32 uv/tangent rows (textured scenes)
+    maps_ref,       # (Rm, 128) f32 packed material-map texel rows
     o_ref,          # (3, RS, 128) f32 primary origins
     d_ref,          # (3, RS, 128) f32 primary directions (normalized)
     alive_ref,      # (RS, 128) f32: 1 live, 0 padding
@@ -901,7 +1169,7 @@ def _fused_kernel(
 ):
     alive0 = (alive_ref[...] > 0.0).astype(jnp.int32)
     (ir, ig, ib), (mr, mg, mb), (fdx, fdy, fdz), state, rays = _trace_core(
-        mats_ref, ell_ref, imp_ref, tris_ref, attr_ref,
+        mats_ref, ell_ref, imp_ref, tris_ref, attr_ref, uvt_ref, maps_ref,
         o_ref[0], o_ref[1], o_ref[2], d_ref[0], d_ref[1], d_ref[2],
         alive0, state_ref[...], **consts,
     )
@@ -923,7 +1191,7 @@ def _fused_kernel(
     static_argnames=("max_bounces", "stack_size", "block_rows",
                      "ell_rotated", "imp_rotated", "imp_fn_ids",
                      "march_steps", "bisect_iters", "march_tmax", "gates",
-                     "interpret"),
+                     "map_shapes", "map_bindings", "interpret"),
 )
 def trace_block(
     o3,        # (3, R) f32, R % (block_rows*128) == 0
@@ -936,6 +1204,8 @@ def trace_block(
     tris,      # (Lf, 128) f32 DENSE fused rows (TRI_CAP tris/row);
                #   1 zero row when the scene has no triangles
     attr,      # (La, 128) f32 DENSE attr rows (ATTR_CAP slots/row)
+    uvt,       # (Lu, 128) f32 uv/tangent rows (1 zero row if untextured)
+    maps,      # (Rm, 128) f32 packed map texel rows (1 zero row if none)
     *,
     max_bounces: int,
     stack_size: int,
@@ -947,6 +1217,8 @@ def trace_block(
     bisect_iters: int = 24,
     march_tmax: float = 100.0,
     gates: tuple = (True, True, True, True, True),
+    map_shapes: tuple = (),
+    map_bindings: tuple = (),
     interpret: bool = False,
 ):
     """One fused megakernel launch over R rays (one sample's megabatch).
@@ -962,6 +1234,7 @@ def trace_block(
     shape = (r // LANES, LANES)
     n_rows = tris.shape[0] if tris.shape[0] > 1 else 0
     n_attr_rows = attr.shape[0] if n_rows else 0
+    n_uvt_rows = uvt.shape[0] if (n_rows and map_bindings) else 0
 
     gate_ss, gate_cc, gate_trans, gate_fresnel, gate_emit = gates
     kern = functools.partial(
@@ -981,6 +1254,8 @@ def trace_block(
         march_tmax=march_tmax,
         gate_ss=gate_ss, gate_cc=gate_cc, gate_trans=gate_trans,
         gate_fresnel=gate_fresnel, gate_emit=gate_emit,
+        n_uvt_rows=n_uvt_rows,
+        map_shapes=map_shapes, map_bindings=map_bindings,
     )
     vec3 = pl.BlockSpec((3, block_rows, LANES), lambda i: (0, i, 0))
     vec1 = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0))
@@ -993,6 +1268,8 @@ def trace_block(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # imp_tab
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tris
             pl.BlockSpec(memory_space=pltpu.VMEM),  # attr
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # uvt
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # maps
             vec3, vec3, vec1, vec1,
         ],
         out_specs=[
@@ -1007,7 +1284,7 @@ def trace_block(
             jax.ShapeDtypeStruct((grid[0], 1), jnp.float32),
         ],
         interpret=interpret,
-    )(mats, ell_tab, imp_tab, tris, attr,
+    )(mats, ell_tab, imp_tab, tris, attr, uvt, maps,
       o3.reshape(3, *shape), d3.reshape(3, *shape),
       alive.reshape(shape), state.reshape(shape))
     return (
@@ -1022,6 +1299,8 @@ def _frame_kernel(
     imp_ref,        # (I, 17) f32 implicit table
     tris_ref,       # (L, 128) f32 leaf-packed triangle rows
     attr_ref,       # (L, 128) f32 attribute rows
+    uvt_ref,        # (Lu, 128) f32 uv/tangent rows (textured scenes)
+    maps_ref,       # (Rm, 128) f32 packed material-map texel rows
     scal_ref,       # (16,) f32 SMEM: cam_pos(3), rotmat(9) row-major, ifd
     uv_ref,         # (2, RS, 128) f32 pixel-center uv (texCoord convention)
     alive_ref,      # (RS, 128) f32: 1 real pixel, 0 padding
@@ -1115,11 +1394,12 @@ def _frame_kernel(
 
     alive0 = (alive_ref[...] > 0.0).astype(jnp.int32)
     if whitted:
+        map_bindings = consts.get("map_bindings", ())
         onx = ox + jnp.float32(1e-4) * dx
         ony = oy + jnp.float32(1e-4) * dy
         onz = oz + jnp.float32(1e-4) * dz
-        _t, nxv, nyv, nzv, mat, is_hit = _closest_hit(
-            tris_ref, attr_ref, ell_ref, imp_ref,
+        _t, nxv, nyv, nzv, mat, is_hit, texinfo = _closest_hit(
+            tris_ref, attr_ref, uvt_ref, ell_ref, imp_ref,
             onx, ony, onz, dx, dy, dz, alive0,
             n_rows=consts["n_rows"],
             n_attr_rows=consts["n_attr_rows"], n_ell=consts["n_ell"],
@@ -1129,6 +1409,8 @@ def _frame_kernel(
             march_steps=consts["march_steps"],
             bisect_iters=consts["bisect_iters"],
             march_tmax=consts["march_tmax"],
+            n_uvt_rows=consts.get("n_uvt_rows", 0),
+            textured=bool(map_bindings),
         )
         n_mats = consts["n_mats"]
 
@@ -1138,12 +1420,22 @@ def _frame_kernel(
         # col = Ka + 0.2*Kd + Kd*dot(up, N) + Ke (frag.glsl:655-661);
         # the shading normal is NOT flipped in Whitted mode
         f0 = jnp.zeros(shape, jnp.float32)
-        ir = jnp.where(is_hit,
-                       fld(0) + fld(3) * (0.2 + nyv) + fld(16), f0)
-        ig = jnp.where(is_hit,
-                       fld(1) + fld(4) * (0.2 + nyv) + fld(17), f0)
-        ib = jnp.where(is_hit,
-                       fld(2) + fld(5) * (0.2 + nyv) + fld(18), f0)
+        Kar, Kag, Kab = fld(0), fld(1), fld(2)
+        Kdr, Kdg, Kdb = fld(3), fld(4), fld(5)
+        Ker, Keg, Keb = fld(16), fld(17), fld(18)
+        if map_bindings:
+            flds = {"Ka": (Kar, Kag, Kab), "Kd": (Kdr, Kdg, Kdb),
+                    "Ke": (Ker, Keg, Keb)}
+            flds, (nxv, nyv, nzv) = _apply_maps_kernel(
+                maps_ref, consts["map_shapes"], map_bindings,
+                {"map_Ka", "map_Kd", "map_Ke", "map_norm"}, mat, is_hit,
+                texinfo, flds, (nxv, nyv, nzv))
+            Kar, Kag, Kab = flds["Ka"]
+            Kdr, Kdg, Kdb = flds["Kd"]
+            Ker, Keg, Keb = flds["Ke"]
+        ir = jnp.where(is_hit, Kar + Kdr * (0.2 + nyv) + Ker, f0)
+        ig = jnp.where(is_hit, Kag + Kdg * (0.2 + nyv) + Keg, f0)
+        ib = jnp.where(is_hit, Kab + Kdb * (0.2 + nyv) + Keb, f0)
         one = jnp.ones(shape, jnp.float32)
         is_miss = (alive0 > 0) & ~is_hit
         mr = jnp.where(is_miss, one, f0)
@@ -1155,6 +1447,7 @@ def _frame_kernel(
         (ir, ig, ib), (mr, mg, mb), (fdx, fdy, fdz), state, rays = \
             _trace_core(
                 mats_ref, ell_ref, imp_ref, tris_ref, attr_ref,
+                uvt_ref, maps_ref,
                 ox, oy, oz, dx, dy, dz, alive0, state, **consts,
             )
 
@@ -1177,14 +1470,15 @@ def _frame_kernel(
                      "block_rows", "ell_rotated", "imp_rotated",
                      "imp_fn_ids", "cam_size", "focal_length", "h_ratio",
                      "blur", "march_steps", "bisect_iters", "march_tmax",
-                     "gates", "whitted", "interpret"),
+                     "gates", "map_shapes", "map_bindings", "whitted",
+                     "interpret"),
 )
 def trace_frame(
     uv2,       # (2, R) f32, R % (block_rows*128) == 0
     alive,     # (R,) f32: 1 real pixel, 0 padding
     seed,      # (R,) uint32 per-pixel seeded state
     scal,      # (16,) f32: cam_pos(3), rotmat(9), ifd, pad
-    mats, ell_tab, imp_tab, tris, attr,
+    mats, ell_tab, imp_tab, tris, attr, uvt, maps,
     *,
     spp: int,
     max_bounces: int,
@@ -1201,6 +1495,8 @@ def trace_frame(
     bisect_iters: int = 24,
     march_tmax: float = 100.0,
     gates: tuple = (True, True, True, True, True),
+    map_shapes: tuple = (),
+    map_bindings: tuple = (),
     whitted: bool = False,
     interpret: bool = False,
 ):
@@ -1216,6 +1512,7 @@ def trace_frame(
     shape = (r // LANES, LANES)
     n_rows = tris.shape[0] if tris.shape[0] > 1 else 0
     n_attr_rows = attr.shape[0] if n_rows else 0
+    n_uvt_rows = uvt.shape[0] if (n_rows and map_bindings) else 0
 
     gate_ss, gate_cc, gate_trans, gate_fresnel, gate_emit = gates
     kern = functools.partial(
@@ -1239,6 +1536,8 @@ def trace_frame(
         march_tmax=march_tmax,
         gate_ss=gate_ss, gate_cc=gate_cc, gate_trans=gate_trans,
         gate_fresnel=gate_fresnel, gate_emit=gate_emit,
+        n_uvt_rows=n_uvt_rows,
+        map_shapes=map_shapes, map_bindings=map_bindings,
         whitted=whitted,
     )
     vec2 = pl.BlockSpec((2, block_rows, LANES), lambda b, s: (0, b, 0))
@@ -1252,6 +1551,8 @@ def trace_frame(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # imp_tab
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tris
             pl.BlockSpec(memory_space=pltpu.VMEM),  # attr
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # uvt
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # maps
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
             vec2, vec1, vec1,
         ],
@@ -1272,7 +1573,7 @@ def trace_frame(
             jax.ShapeDtypeStruct((nb, spp), jnp.float32),
         ],
         interpret=interpret,
-    )(mats, ell_tab, imp_tab, tris, attr, scal,
+    )(mats, ell_tab, imp_tab, tris, attr, uvt, maps, scal,
       uv2.reshape(2, *shape), alive.reshape(shape), seed.reshape(shape))
     return (
         inc.reshape(3, r), mc.reshape(spp, 3, r), dout.reshape(spp, 3, r),
@@ -1280,16 +1581,34 @@ def trace_frame(
     )
 
 
+def active_map_bindings(info, params) -> tuple:
+    """The static (channel, material, slot) bindings the kernel honors for
+    this render: empty when textures are off; map_norm bindings drop when
+    normal mapping is off (mirrors integrator._shade_setup's gates)."""
+    maps_on = params.use_textures and info.has_maps
+    norm_on = (params.use_textures and params.normal_mapping
+               and info.has_normal_maps)
+    out = []
+    for b in getattr(info, "fs_map_bindings", ()):
+        if b[0] == "map_norm":
+            if norm_on:
+                out.append(b)
+        elif maps_on:
+            out.append(b)
+    return tuple(out)
+
+
 def eligible(info, scene, params) -> bool:
     """Static gate for the fused megakernel path (integrator.trace):
-    dense fused triangle tables present (or analytic-only scene), no
-    texture maps in play, and a small static material table."""
+    dense fused triangle tables present (or analytic-only scene), texture
+    maps either absent or small enough for in-kernel sampling
+    (scene/packing.py fs_maps), and a small static material table."""
     if info.streamed:
         return False
     maps_on = params.use_textures and info.has_maps
     norm_on = (params.use_textures and params.normal_mapping
                and info.has_normal_maps)
-    if maps_on or norm_on:
+    if (maps_on or norm_on) and not getattr(info, "fs_maps_ok", False):
         return False
     if scene.materials.shape[0] < 1 or scene.materials.shape[0] > 32:
         return False
@@ -1351,7 +1670,7 @@ def render_fused_frame(scene, info, params, cam_pos, cam_rot, frame_seed,
         inc, mc, dout, state, r = trace_frame(
             uv2, alive, state, scal,
             scene.materials, scene.ell_tab, scene.imp_tab,
-            scene.fs_tris, scene.fs_attr,
+            scene.fs_tris, scene.fs_attr, scene.fs_uvt, scene.fs_maps,
             spp=k,
             max_bounces=params.max_bounces,
             stack_size=params.refraction_stack,
@@ -1364,6 +1683,8 @@ def render_fused_frame(scene, info, params, cam_pos, cam_rot, frame_seed,
             h_ratio=height / float(width),
             blur=blur,
             gates=getattr(info, "mat_gates", (True,) * 5),
+            map_shapes=getattr(info, "fs_map_shapes", ()),
+            map_bindings=active_map_bindings(info, params),
             whitted=whitted,
             interpret=interpret,
         )
@@ -1410,7 +1731,7 @@ def trace_fused(origins, directions, state, scene, info, params,
     inc, mc, dout, sout, rays = trace_block(
         o3, d3, alive, st,
         scene.materials, scene.ell_tab, scene.imp_tab,
-        scene.fs_tris, scene.fs_attr,
+        scene.fs_tris, scene.fs_attr, scene.fs_uvt, scene.fs_maps,
         max_bounces=params.max_bounces,
         stack_size=params.refraction_stack,
         block_rows=block_rows,
@@ -1418,6 +1739,8 @@ def trace_fused(origins, directions, state, scene, info, params,
         imp_rotated=info.imp_rotated[: info.num_implicits],
         imp_fn_ids=info.imp_fn_ids[: info.num_implicits],
         gates=getattr(info, "mat_gates", (True,) * 5),
+        map_shapes=getattr(info, "fs_map_shapes", ()),
+        map_bindings=active_map_bindings(info, params),
         interpret=interpret,
     )
     inc = inc.T[:B]

@@ -888,6 +888,9 @@ def trace_streamed(
     rb = block_rows * LANES
     r = o3.shape[1]
     assert r % rb == 0, (r, rb)
+    # the sublane OR-tree reduction (b = b[:h] | b[h:rs]) halves exactly
+    # only for power-of-two block heights (ADVICE r3 #2)
+    assert block_rows & (block_rows - 1) == 0, block_rows
     grid = (r // rb,)
     o_b = o3.reshape(3, r // LANES, LANES)
     d_b = d3.reshape(3, r // LANES, LANES)

@@ -41,7 +41,8 @@ class FrameLoopDriver:
                  move_speed: float = 0.5, sensitivity: float = 0.15,
                  auto_screenshot_after: Optional[int] = None,
                  screenshot_dir: str = "screenshots",
-                 preview_frames: int = 1, log=None):
+                 preview_frames: int = 1, log=None,
+                 watchdog_every: Optional[int] = 8):
         self.full_config = config
         self.preview_config = config.preview()
         self.scene = scene
@@ -66,6 +67,15 @@ class FrameLoopDriver:
         self._auto_shot_done = False
         self.closed = False
         self.last_screenshot: Optional[str] = None
+        # Render-anomaly watchdog (the reference self-detects a crashed/
+        # blank render via FPS > 4000 and closes, dispatch.java:611-615).
+        # Headless analogue: every `watchdog_every` still frames, fetch the
+        # accumulation stats — a non-finite sum ABORTS the loop (it would
+        # otherwise accumulate garbage forever), an all-black sum after
+        # real frames is reported (legitimate for empty scenes, so no
+        # abort). None disables. The fetch host-syncs, hence the cadence.
+        self.watchdog_every = watchdog_every
+        self.anomaly: Optional[str] = None
 
     # -- camera ----------------------------------------------------------
     @property
@@ -178,6 +188,9 @@ class FrameLoopDriver:
             self._was_moving = False
         img = self.renderer.step()
         self.frames_still += 1
+        if (self.watchdog_every
+                and self.frames_still % self.watchdog_every == 0):
+            self._watchdog_check()
         if (self.auto_screenshot_after is not None
                 and not self._auto_shot_done
                 and self.frames_still >= self.auto_screenshot_after):
@@ -185,6 +198,21 @@ class FrameLoopDriver:
             self._auto_shot_done = True
             self.log(f"auto-screenshot {self.last_screenshot}")
         return img
+
+    def _watchdog_check(self):
+        """Flag a crashed render (dispatch.java:611-615 analogue)."""
+        import jax.numpy as jnp
+
+        s = self.renderer._sum
+        if not bool(jnp.isfinite(s).all()):
+            self.anomaly = "non-finite accumulation"
+            self.log(f"watchdog: {self.anomaly} after "
+                     f"{self.frames_still} frames — aborting")
+            self.closed = True
+        elif float(jnp.max(jnp.abs(s))) == 0.0:
+            self.anomaly = "all-black accumulation"
+            self.log(f"watchdog: {self.anomaly} after "
+                     f"{self.frames_still} frames")
 
     def display_image(self):
         return (self.preview_renderer if self._was_moving

@@ -111,11 +111,19 @@ def trace(origins, directions, state, scene, info, params: TraceParams):
     if params.fused == "auto":
         use_fused = (jax.default_backend() != "cpu"
                      and fused_mod.eligible(info, scene, params))
-    elif params.fused == "on":
+    elif params.fused in ("on", "interpret"):
         use_fused = fused_mod.eligible(info, scene, params)
-    elif params.fused == "interpret":
-        use_fused = fused_mod.eligible(info, scene, params)
-        fused_interp = True
+        fused_interp = params.fused == "interpret"
+        if not use_fused:
+            # ADVICE r3 #4: a forced fused request must not fall through
+            # silently — the caller asked for the megakernel specifically
+            import warnings
+
+            warnings.warn(
+                f"params.fused={params.fused!r} requested but the scene "
+                "is not fused-eligible (streamed, oversized maps/material "
+                "table, or no dense tables); using the per-bounce "
+                "pipeline", stacklevel=2)
     if use_fused:
         return fused_mod.trace_fused(
             origins, directions, state, scene, info, params,

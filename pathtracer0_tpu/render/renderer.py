@@ -517,6 +517,26 @@ class Renderer:
             "loc": np.asarray(surf.loc[0]),
         }
 
+    def display_image_with_pick(self, px: int, py: int,
+                                radius: float = 0.005) -> np.ndarray:
+        """In-image mouse-inspector overlay (frag.glsl:888-893): pixels
+        whose texCoord lies within `radius` (texture-coordinate units,
+        the reference's 0.5%) of the cursor display the surface normal
+        under the cursor instead of the render — the visual-parity twin
+        of `pick`, which returns the probe record."""
+        rec = self.pick(px, py)
+        cfg = self.config
+        u = (np.arange(cfg.width, dtype=np.float32) + 0.5) / cfg.width
+        v = (np.arange(cfg.height, dtype=np.float32) + 0.5) / cfg.height
+        cu = (px + 0.5) / cfg.width
+        cv = (py + 0.5) / cfg.height
+        du = (u - cu)[None, :]
+        dv = (v - cv)[:, None]
+        mask = du * du + dv * dv < radius * radius
+        out = np.asarray(self.display_image()).copy()
+        out[mask] = rec["normal"]
+        return out
+
     def telemetry(self) -> str:
         """The stdin `telemetry` command (dispatch.java:785-792)."""
         p = np.asarray(self.cam_pos)

@@ -91,6 +91,15 @@ class DeviceScene(NamedTuple):
     # FUSED_MAX_TRIS; a 1-row zero placeholder otherwise.
     fs_tris: jax.Array     # (Lf, 128) f32
     fs_attr: jax.Array     # (La, 128) f32
+    # In-kernel texture shading (kernels/fused.py): UV + raw-tangent
+    # attribute rows (UVT_CAP slots/row, leaf order) and the packed
+    # material-map texel table — one image row per 128-lane table row
+    # (texel (y, x) channel c of the map based at row b sits at
+    # [b + y, 3x + c]), so the kernel's bilinear weight-accumulation can
+    # walk rows with a dynamic sublane index and static lane offsets.
+    # 1-row zero placeholders when the scene has no (eligible) maps.
+    fs_uvt: jax.Array      # (Lu, 128) f32
+    fs_maps: jax.Array     # (Rm, 128) f32
     ell_tab: jax.Array     # (E, 17) f32: c(3), stretch(3), rad, mat, R(9)
     imp_tab: jax.Array     # (I, 17) f32: shift(3), scale(3), pad, mat, R(9)
 
@@ -132,7 +141,8 @@ class DeviceScene(NamedTuple):
 
 
 def pack_scene(scene, config: RenderConfig,
-               max_leaf: Optional[int] = None) -> DeviceScene:
+               max_leaf: Optional[int] = None,
+               _force_streamed: bool = False) -> DeviceScene:
     """Build the BVH forest and pack all host-side scene state to arrays."""
     t = scene.tris
     n_list = len(t)
@@ -184,7 +194,7 @@ def pack_scene(scene, config: RenderConfig,
         or _eff_leaf > 14
         or _wf_vmem_bytes(4 * _leaves_est, _leaves_est) > WF_VMEM_BUDGET
     )
-    streamed = n_tri > config.stream_threshold or (
+    streamed = _force_streamed or n_tri > config.stream_threshold or (
         n_tri > FUSED_MAX_TRIS and _wf_would_fail)
     empty_forest = bvh_mod.BVHArrays(
         node_min=np.zeros((0, 3), np.float32),
@@ -393,14 +403,104 @@ def pack_scene(scene, config: RenderConfig,
     # with no subsurface / clearcoat / transmissive / fresnel-illum /
     # emissive material compiles those whole lobe families away
     # (kernels/fused._trace_core). Column indices are scene/material.COL.
+    # A texture map can switch a capability ON per-texel (frag.glsl:210-225
+    # replaces Tr/Pc/Ke from the sample), so a mapped channel forces its
+    # lobe family live even when every base value is off.
     m = mats if mats.shape[0] else np.zeros((1, 48), np.float32)
     mat_gates = (
         bool((m[:, 41] > 0).any()),                        # subsurface
-        bool((m[:, 27] > 0).any()),                        # clearcoat Pc
-        bool((m[:, 11] > 0).any() or (m[:, 12:15] > 0).any()),  # Tr / Tf
+        bool((m[:, 27] > 0).any()
+             or "map_Pc" in maps_present),                 # clearcoat Pc
+        bool((m[:, 11] > 0).any() or (m[:, 12:15] > 0).any()
+             or "map_Tr" in maps_present),                 # Tr / Tf
         bool(np.isin(m[:, 20], (5.0, 7.0)).any()),         # illum 5 / 7
-        bool((m[:, 16:19] != 0).any()),                    # emission Ke
+        bool((m[:, 16:19] != 0).any()
+             or "map_Ke" in maps_present),                 # emission Ke
     )
+
+    # ---- in-kernel texture shading tables (kernels/fused.py) --------------
+    # Small material maps sample INSIDE the megakernel (the TPU-native
+    # replacement for the reference's bindless in-shader samples,
+    # frag.glsl:210-225, dispatch.java:331-379): pack every map some
+    # material references into fs_maps (one image row per 128-lane table
+    # row) and the per-triangle UV + raw tangent into dense fs_uvt rows.
+    # Maps past the kernel budget keep the XLA mapMtl path (fs_maps_ok
+    # False gates kernels/fused.eligible).
+    from ..kernels.fused import (
+        MAP_MAX_H, MAP_MAX_W, MAP_TEXEL_BUDGET, UVT_CAP, UVT_STRIDE)
+
+    fs_map_shapes: list = []
+    fs_map_bindings: list = []
+    fs_maps_ok = False
+    fs_uvt = np.zeros((1, 128), np.float32)
+    fs_maps = np.zeros((1, 128), np.float32)
+    if (has_maps or has_normal_maps) and not streamed \
+            and n_tri <= FUSED_MAX_TRIS and mats.shape[0]:
+        _bind_chans = _map_names + ("map_norm",)
+        slot_of = {}
+        bindings = []
+        fits = True
+        for mi in range(mats.shape[0]):
+            for ch in _bind_chans:
+                ti = int(mats[mi, _COL[ch]])
+                if ti < 0:
+                    continue
+                if ti >= len(scene.textures.images):
+                    fits = False
+                    continue
+                if ti not in slot_of:
+                    img = scene.textures.images[ti]
+                    hh, ww = img.shape[0], img.shape[1]
+                    if hh > MAP_MAX_H or ww > MAP_MAX_W:
+                        fits = False
+                    slot_of[ti] = len(slot_of)
+                bindings.append((ch, mi, slot_of[ti]))
+        tex_order = sorted(slot_of, key=slot_of.get)
+        total_texels = sum(
+            scene.textures.images[ti].shape[0]
+            * scene.textures.images[ti].shape[1] for ti in tex_order)
+        if fits and total_texels <= MAP_TEXEL_BUDGET:
+            fs_maps_ok = True
+            base = 0
+            rows = []
+            for ti in tex_order:
+                img = np.asarray(scene.textures.images[ti], np.float32)
+                hh, ww = img.shape[0], img.shape[1]
+                fs_map_shapes.append((hh, ww, base))
+                block = np.zeros((hh, 128), np.float32)
+                block[:, : ww * 3] = img.reshape(hh, ww * 3)
+                rows.append(block)
+                base += hh
+            fs_maps = np.concatenate(rows) if rows else fs_maps
+            fs_map_bindings = bindings
+            if fs_dense_ok:
+                uv1_all = field("uv1", 2, np.float32)
+                uv2_all = field("uv2", 2, np.float32)
+                uv3_all = field("uv3", 2, np.float32)
+                huv_all = field("has_uv", 0, np.float32)
+                n_uv_rows = max(-(-len(order) // UVT_CAP), 2)
+                fs_uvt = np.zeros((n_uv_rows, 128), np.float32)
+                for k, tid in enumerate(order):
+                    row, j = divmod(k, UVT_CAP)
+                    a = UVT_STRIDE * j
+                    fs_uvt[row, a:a + 2] = uv1_all[tid]
+                    fs_uvt[row, a + 2:a + 4] = uv2_all[tid]
+                    fs_uvt[row, a + 4:a + 6] = uv3_all[tid]
+                    if huv_all[tid] > 0:
+                        # raw UV-space tangent (frag.glsl:421-430,
+                        # kernels/intersect.compute_tangent): the per-hit
+                        # Gram-Schmidt + normalize happens in-kernel
+                        # against the committed shading normal
+                        e1 = (v2[tid] - v1[tid]).astype(np.float32)
+                        e2 = (v3[tid] - v1[tid]).astype(np.float32)
+                        du1 = uv2_all[tid] - uv1_all[tid]
+                        du2 = uv3_all[tid] - uv1_all[tid]
+                        det = du1[0] * du2[1] - du1[1] * du2[0]
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            traw = (du2[1] * e1 - du1[1] * e2) / det
+                        if np.all(np.isfinite(traw)):
+                            fs_uvt[row, a + 6:a + 9] = traw
+                        fs_uvt[row, a + 9] = 1.0
 
     # Combined attribute table for one-hot fetch (see DeviceScene.tri_attr)
     n1a = stack3("n1")
@@ -423,6 +523,21 @@ def pack_scene(scene, config: RenderConfig,
         tri_attr[:, 18:21] = v1.astype(np.float32)
         tri_attr[:, 21:24] = v2.astype(np.float32)
         tri_attr[:, 24:27] = v3.astype(np.float32)
+
+    # ADVICE r3 #1: the pre-build streaming estimate assumes near-full
+    # leaves; a degenerate SAH partition can blow past it and fail the
+    # post-build wf_ok gate, landing a mid-size scene on the ~0.1 Mrays/s
+    # vmapped fallback. Rebuild through the streamed LBVH path instead.
+    wf_ok_post = (
+        wf_feasible
+        and len(forest.roots) > 0
+        and len(forest.roots) <= MAX_ROOTS
+        and _wf_vmem_bytes(
+            wf_nodes_f.shape[0] + wf_nodes_i.shape[0],
+            wf_tris.shape[0]) <= WF_VMEM_BUDGET
+    )
+    if not streamed and not wf_ok_post and n_tri > FUSED_MAX_TRIS:
+        return pack_scene(scene, config, max_leaf, _force_streamed=True)
 
     dev = DeviceScene(
         tri_v1=tri_pad(v1.astype(np.float32)),
@@ -467,6 +582,8 @@ def pack_scene(scene, config: RenderConfig,
         tri_attr=tri_attr,
         fs_tris=fs_tris,
         fs_attr=fs_attr,
+        fs_uvt=fs_uvt,
+        fs_maps=fs_maps,
         ell_tab=ell_tab,
         imp_tab=imp_tab,
         st_top=st_top,
@@ -477,19 +594,12 @@ def pack_scene(scene, config: RenderConfig,
         tex_data=tex_data,
         tex_sizes=tex_sizes,
     )
-    wf_vmem = _wf_vmem_bytes(
-        wf_nodes_f.shape[0] + wf_nodes_i.shape[0], wf_tris.shape[0])
     info = StaticSceneInfo(
         num_objects=int(forest.roots.shape[0]),
         num_ellipsoids=len(scene.ell_rad),
         num_implicits=len(scene.imp_fn),
         max_leaf_size=forest.max_leaf_size(),
-        wf_ok=(
-            wf_feasible
-            and len(forest.roots) > 0
-            and len(forest.roots) <= MAX_ROOTS
-            and wf_vmem <= WF_VMEM_BUDGET
-        ),
+        wf_ok=wf_ok_post,
         fused_ok=fs_dense_ok and len(forest.roots) > 0,
         mat_gates=mat_gates,
         ell_rotated=tuple(ell_rotated),
@@ -498,6 +608,9 @@ def pack_scene(scene, config: RenderConfig,
         has_maps=has_maps,
         has_normal_maps=has_normal_maps,
         maps_present=maps_present,
+        fs_maps_ok=fs_maps_ok,
+        fs_map_shapes=tuple(fs_map_shapes),
+        fs_map_bindings=tuple(fs_map_bindings),
         has_rotated_ellipsoids=bool(
             np.any(np.abs(np.asarray(scene.ell_rot, np.float32)) > 0)
         ),
@@ -558,6 +671,13 @@ class StaticSceneInfo(NamedTuple):
     maps_present: tuple = ("map_Ka", "map_Kd", "map_Ks", "map_Ke", "map_d",
                            "map_Tr", "map_Ns", "map_Pm", "map_Pr", "map_Ps",
                            "map_Pc")
+    # In-kernel texture shading (kernels/fused.py): every referenced map
+    # fits the kernel budget and fs_maps/fs_uvt were packed. Shapes are
+    # ((H, W, base_row), ...) per packed map slot; bindings are
+    # ((channel, material_id, slot), ...).
+    fs_maps_ok: bool = False
+    fs_map_shapes: tuple = ()
+    fs_map_bindings: tuple = ()
     # Any analytic primitive carries a nonzero rotation (compile-time gate
     # for the per-ray rotation-matrix math in the merge/normal paths)
     has_rotated_ellipsoids: bool = True

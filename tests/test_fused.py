@@ -34,6 +34,7 @@ CASES = [
     ("obj_bvh", scenes.obj_bvh, 3),           # triangles + BVH + analytic
     ("full_pbr", scenes.full_pbr, 4),         # clearcoat, SSS, implicit,
                                               # rotated ellipsoid
+    ("textured", scenes.textured, 6),         # in-kernel mapMtl + TBN
 ]
 
 
@@ -206,15 +207,74 @@ def test_tiny_triangle_scene_not_dropped():
                float(jnp.mean(inc0[:, 0]))) < 1e-3
 
 
-def test_not_eligible_with_maps():
-    """Scenes with texture maps must fall back to the per-bounce path."""
+def _mapped_sphere_scene(tex_h, tex_w):
     sc = Scene()
     sc.set_constant_sky((0.5, 0.5, 0.5))
     sc.add_material("mapped")
-    tex = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
+    tex = np.random.RandomState(0).rand(tex_h, tex_w, 3).astype(np.float32)
     idx = sc.textures.register_array(tex, "checker")
     sc.set_last_mtl("map_Kd", idx)
     sc.add_sphere((0, 0, 3), 1.0, m=0)
-    dev, info = sc.build()
+    return sc.build()
+
+
+def test_map_eligibility_by_size():
+    """Small material maps sample IN-KERNEL (round-4: fs_maps packing);
+    maps past the kernel budget (width > MAP_MAX_W texels or total texels
+    > MAP_TEXEL_BUDGET) keep the XLA mapMtl path."""
     p = TraceParams(max_bounces=2)
-    assert not fused.eligible(info, dev, p)
+    dev, info = _mapped_sphere_scene(8, 8)
+    assert info.fs_maps_ok and fused.eligible(info, dev, p)
+    dev, info = _mapped_sphere_scene(64, 64)  # W=64 > MAP_MAX_W
+    assert not info.fs_maps_ok and not fused.eligible(info, dev, p)
+    # textures off -> maps ignored, still eligible either way
+    p_off = TraceParams(max_bounces=2, use_textures=False)
+    assert fused.eligible(info, dev, p_off)
+    assert fused.active_map_bindings(info, p_off) == ()
+
+
+def test_mapped_analytic_uv_semantics():
+    """A mapped material on an ellipsoid samples at uv = (-1, -1)
+    (REPEAT-wrapped), exactly like the XLA path's surface_sample
+    sentinel — kernel and per-bounce pipeline must agree."""
+    dev, info = _mapped_sphere_scene(8, 8)
+    uv, index = camera.pixel_centers(24, 16)
+    d = camera.primary_directions(
+        uv, jnp.zeros(3, jnp.float32), 1.5, 1.0, 16 / 24)
+    o = jnp.zeros_like(d)
+    st = vrng.seed(index, 9)
+    inc0, _, _ = trace(o, d, st, dev, info,
+                       TraceParams(max_bounces=3, fused="off", pallas="off"))
+    inc1, _, _ = trace(o, d, st, dev, info,
+                       TraceParams(max_bounces=3, fused="interpret",
+                                   pallas="off"))
+    diff = np.abs(np.asarray(inc0) - np.asarray(inc1)).max(axis=1)
+    assert (diff < 1e-4).mean() >= 0.99, diff.max()
+
+
+def test_textured_whitted_frame_parity():
+    """Whitted in-kernel mode applies map_Ka/map_Kd/map_Ke + normal
+    mapping like integrator.direct_diffuse."""
+    from pathtracer0_tpu.render.renderer import render_frame, _frame_params
+    from pathtracer0_tpu import RenderConfig
+
+    dev, info = scenes.textured().build(max_leaf=4)
+    cam, rot = scenes.CAMERAS[6]
+    cam = jnp.asarray(cam, jnp.float32)
+    rot = jnp.asarray(rot, jnp.float32)
+
+    def frame(fused_mode):
+        cfg = RenderConfig(width=48, height=32, samples_per_frame=1,
+                           max_bounces=2, raytracing=False,
+                           auto_focus=False, blur=0.0, fused=fused_mode)
+        img, _ = render_frame(
+            dev, cam, rot, jnp.uint32(5), info=info,
+            params=_frame_params(cfg), width=48, height=32, spp=1,
+            raytracing=False, auto_focus=False, cam_size=cfg.cam_size,
+            focal_length=cfg.focal_length, blur=0.0,
+            focal_distance=cfg.focal_distance)
+        return np.asarray(img)
+
+    a = frame("off")
+    b = frame("interpret")
+    assert np.abs(a - b).max() < 1e-4

@@ -158,3 +158,39 @@ def test_oversized_leaf_falls_back(tmp_path):
         dev, info, pallas="off")
     assert bool(hit.is_hit[0])
     np.testing.assert_allclose(float(hit.t[0]), 5.0, atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "fn_id", sorted(__import__(
+        "pathtracer0_tpu.kernels.fused", fromlist=["IMP_BOUND_RADIUS"]
+    ).IMP_BOUND_RADIUS))
+def test_bound_radius_conservative(fn_id):
+    """ADVICE r3 #3: the fused kernel's windowed march skips all samples
+    outside IMP_BOUND_RADIUS[fn] — correctness requires that NO zero
+    crossing of the surface exists outside that sphere. Sample a thick
+    shell just above the table radius and assert the field has constant
+    nonzero sign there, so a stale radius (after editing an implicit
+    formula) fails loudly."""
+    from pathtracer0_tpu.kernels.fused import IMP_BOUND_RADIUS
+
+    R = IMP_BOUND_RADIUS[fn_id]
+    rs = np.random.RandomState(fn_id)
+    n = 50000
+    d = rs.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rad = R * (1.0 + rs.rand(n, 1) * 2.0)  # |p| in (R, 3R]
+    p = (d * rad).astype(np.float32)
+    x = jnp.asarray(p[:, 0])
+    y = jnp.asarray(p[:, 1])
+    z = jnp.asarray(p[:, 2])
+    f = implicits._BUILDERS[fn_id - 1]
+    vals = np.asarray(f(x * x, y * y, z * z, x, y, z))
+    # NaN (out-of-domain, e.g. sqrt of a negative) can never bracket a
+    # root: f_prev * f < 0 is False for NaN operands in the marcher, so
+    # only FINITE values outside the sphere could produce a crossing —
+    # they must all share one nonzero sign.
+    fin = vals[np.isfinite(vals)]
+    assert fin.size, f"fn {fn_id}: no finite samples in the test shell"
+    assert (fin != 0).all(), f"root outside bound sphere for fn {fn_id}"
+    assert (fin > 0).all() or (fin < 0).all(), (
+        f"sign change outside bound sphere for fn {fn_id}")

@@ -144,11 +144,19 @@ def test_checker_end_to_end():
     assert contrast > 0.1, f"no checker contrast: {contrast}"
 
 
-def test_textured_not_fused_eligible():
-    """Textured scenes must take the per-bounce pipeline (mapMtl runs in
-    XLA, not the map-free megakernel)."""
+def test_textured_fused_eligible_small_maps():
+    """Round 4: small-map textured scenes sample in-kernel (fs_maps) and
+    stay on the fused megakernel; the demo scene's 8-32 px maps qualify.
+    (tests/test_fused.py covers the oversized-map fallback.)"""
     from pathtracer0_tpu.kernels import fused
     from pathtracer0_tpu.render.integrator import TraceParams
 
     dev, info = scenes.textured().build(max_leaf=4)
-    assert not fused.eligible(info, dev, TraceParams(max_bounces=2))
+    assert info.fs_maps_ok
+    assert fused.eligible(info, dev, TraceParams(max_bounces=2))
+    # all three bindings survive with textures+normal mapping on
+    p = TraceParams(max_bounces=2)
+    assert len(fused.active_map_bindings(info, p)) == 3
+    # normal mapping off drops only the map_norm binding
+    p2 = TraceParams(max_bounces=2, normal_mapping=False)
+    assert len(fused.active_map_bindings(info, p2)) == 2
