@@ -73,6 +73,10 @@ UVT_CAP = 12
 MAP_MAX_H = 64
 MAP_MAX_W = 42
 MAP_TEXEL_BUDGET = 4096
+# The sky table may be wider (image rows span several table rows) and is
+# sampled once per MISS, not per material channel — a larger budget holds.
+# 16384 texels = a 64x256 or 128x128 equirect map, 192 KB of VMEM.
+SKY_TEXEL_BUDGET = 16384
 
 # dense fused-table packing (scene/packing.py): triangles at 14/row
 # (9 floats each), attributes at 12/row (ATTR_STRIDE floats each) — the
@@ -170,8 +174,9 @@ _MAP_SCALAR = {"map_Tr": "Tr", "map_Pm": "Pm", "map_Pr": "Pr",
                "map_Pc": "Pc"}
 
 
-def _sample_map_block(maps_ref, H, W, base, channels, tu, tv, need):
-    """Bilinear GL_REPEAT/GL_LINEAR sample of ONE packed material map for
+def _sample_map_block(maps_ref, H, W, base, rows_per_y, channels,
+                      tu, tv, need):
+    """Bilinear GL_REPEAT/GL_LINEAR sample of ONE packed texel table for
     every lane of the block, as a factorized weight accumulation: per-lane
     wrapped tap coordinates (x0,x1,y0,y1 + fractions) turn into per-column
     weights wx[j] (two nonzero per lane) and per-row weights wy, and the
@@ -180,7 +185,10 @@ def _sample_map_block(maps_ref, H, W, base, channels, tu, tv, need):
     per-lane gather, which Mosaic cannot do. The row loop's trip count
     drops to 0 when NO lane in the block needs this map (`need`), so
     blocks away from mapped materials skip the whole texel walk — one
-    scalar sync, same trick as the windowed implicit march.
+    scalar sync, same trick as the windowed implicit march. Image row y
+    spans `rows_per_y` table rows (scene/packing._pack_texel_rows), so
+    maps wider than 42 texels (e.g. the 128-wide sky) address row
+    base + y*rows_per_y + (3x+c)//128, lane (3x+c)%128 — all static but y.
 
     Equivalent of scene/texture.sample_bilinear (frag.glsl:79-81) up to
     summation order. channels=1 accumulates only R (scalar-channel maps)."""
@@ -226,17 +234,64 @@ def _sample_map_block(maps_ref, H, W, base, channels, tu, tv, need):
         yf = yi.astype(jnp.float32)
         wy = (jnp.where(y0w == yf, 1.0 - fy, f0)
               + jnp.where(y1w == yf, fy, f0))
-        row = base + yi
+        row = base + yi * rows_per_y
         for jx in range(W):
             wxy = wy * wx[jx]
-            ar = ar + wxy * maps_ref[row, 3 * jx]
+            o_r = 3 * jx
+            ar = ar + wxy * maps_ref[row + o_r // 128, o_r % 128]
             if channels == 3:
-                ag = ag + wxy * maps_ref[row, 3 * jx + 1]
-                ab = ab + wxy * maps_ref[row, 3 * jx + 2]
+                ag = ag + wxy * maps_ref[row + (o_r + 1) // 128,
+                                         (o_r + 1) % 128]
+                ab = ab + wxy * maps_ref[row + (o_r + 2) // 128,
+                                         (o_r + 2) % 128]
         return ar, ag, ab
 
     ar, ag, ab = jax.lax.fori_loop(lo, hi, yrow, (f0, f0, f0))
     return ar, ag, ab
+
+
+def _arcsin_poly(x):
+    """arcsin for x in [-1, 1] (Mosaic has no asin primitive):
+    Abramowitz-Stegun 4.4.45, |err| <= 6.8e-5 rad — ~4e-3 texel on a
+    64-row sky, far below the knife-edge golden tolerance."""
+    ax = jnp.abs(x)
+    p = (jnp.float32(1.5707288)
+         + ax * (jnp.float32(-0.2121144)
+                 + ax * (jnp.float32(0.0742610)
+                         + ax * jnp.float32(-0.0187293))))
+    r = jnp.float32(1.5707963) - jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+    return jnp.where(x < 0.0, -r, r)
+
+
+def _arctan2_poly(z, x):
+    """atan2(z, x) in (-pi, pi] via the octant-folded A-S 4.4.49 odd
+    polynomial on the [0, 1] ratio, |err| ~ 1e-5 rad. atan2(0, 0) -> 0
+    like XLA's."""
+    az = jnp.abs(z)
+    ax = jnp.abs(x)
+    mn = jnp.minimum(az, ax)
+    mx = jnp.maximum(az, ax)
+    r = mn / jnp.maximum(mx, jnp.float32(1e-30))
+    r2 = r * r
+    t = r * (jnp.float32(0.9998660)
+             + r2 * (jnp.float32(-0.3302995)
+                     + r2 * (jnp.float32(0.1801410)
+                             + r2 * (jnp.float32(-0.0851330)
+                                     + r2 * jnp.float32(0.0208351)))))
+    t = jnp.where(az > ax, jnp.float32(1.5707963) - t, t)
+    t = jnp.where(x < 0.0, jnp.float32(3.1415927) - t, t)
+    return jnp.where(z < 0.0, -t, t)
+
+
+def _sky_in_kernel(sky_ref, sky_shape, dx, dy, dz, need):
+    """Equirect sky sample (frag.glsl:235-242; scene/texture.sky_color
+    uv convention, incl. its 3.14159 constants) of the packed fs_sky
+    table, windowed + block-gated like every in-kernel map."""
+    h, w, rpy = sky_shape
+    u = 0.5 + _arctan2_poly(dz, dx) * jnp.float32(1.0 / (2.0 * 3.14159))
+    v = 0.5 - _arcsin_poly(jnp.clip(dy, -1.0, 1.0)) * jnp.float32(
+        1.0 / 3.14159)
+    return _sample_map_block(sky_ref, h, w, 0, rpy, 3, u, v, need)
 
 
 def _apply_maps_kernel(maps_ref, map_shapes, map_bindings, used, mat,
@@ -265,9 +320,9 @@ def _apply_maps_kernel(maps_ref, map_shapes, map_bindings, used, mat,
             if s2 == slot:
                 need = need | (mat == jnp.float32(mid))
         need = need & is_hit
-        h, w, base = map_shapes[slot]
+        h, w, base, rpy = map_shapes[slot]
         samples[slot] = _sample_map_block(
-            maps_ref, h, w, base, slot_ch[slot], tu, tv, need)
+            maps_ref, h, w, base, rpy, slot_ch[slot], tu, tv, need)
     fields = dict(fields)
     for ch, mid, slot in act:
         sr, sg, sb = samples[slot]
@@ -1301,6 +1356,7 @@ def _frame_kernel(
     attr_ref,       # (L, 128) f32 attribute rows
     uvt_ref,        # (Lu, 128) f32 uv/tangent rows (textured scenes)
     maps_ref,       # (Rm, 128) f32 packed material-map texel rows
+    sky_ref,        # (Rs, 128) f32 packed sky texel rows (whitted mode)
     scal_ref,       # (16,) f32 SMEM: cam_pos(3), rotmat(9) row-major, ifd
     uv_ref,         # (2, RS, 128) f32 pixel-center uv (texCoord convention)
     alive_ref,      # (RS, 128) f32: 1 real pixel, 0 padding
@@ -1316,6 +1372,7 @@ def _frame_kernel(
     h_ratio: float,
     blur: float,
     whitted: bool = False,
+    sky_shape: tuple = (),
     **consts,
 ):
     """Whole-frame megakernel: grid = (pixel blocks, samples).
@@ -1436,11 +1493,25 @@ def _frame_kernel(
         ir = jnp.where(is_hit, Kar + Kdr * (0.2 + nyv) + Ker, f0)
         ig = jnp.where(is_hit, Kag + Kdg * (0.2 + nyv) + Keg, f0)
         ib = jnp.where(is_hit, Kab + Kdb * (0.2 + nyv) + Keb, f0)
-        one = jnp.ones(shape, jnp.float32)
         is_miss = (alive0 > 0) & ~is_hit
-        mr = jnp.where(is_miss, one, f0)
-        mg = mr
-        mb = mr
+        if sky_shape:
+            # in-kernel equirect miss shade: whitted miss directions are
+            # the (coherent) primary directions, so the sky row window is
+            # a few rows per block — this removes the whole ~8 ms/frame
+            # XLA deferred-sky pass (round-4 xprof; VERDICT r3 #3)
+            sr, sg, sb = _sky_in_kernel(
+                sky_ref, sky_shape, dx, dy, dz, is_miss)
+            ir = ir + jnp.where(is_miss, sr, f0)
+            ig = ig + jnp.where(is_miss, sg, f0)
+            ib = ib + jnp.where(is_miss, sb, f0)
+            mr = f0
+            mg = f0
+            mb = f0
+        else:
+            one = jnp.ones(shape, jnp.float32)
+            mr = jnp.where(is_miss, one, f0)
+            mg = mr
+            mb = mr
         fdx, fdy, fdz = dx, dy, dz
         rays = jnp.sum(alive0).astype(jnp.float32)
     else:
@@ -1470,15 +1541,15 @@ def _frame_kernel(
                      "block_rows", "ell_rotated", "imp_rotated",
                      "imp_fn_ids", "cam_size", "focal_length", "h_ratio",
                      "blur", "march_steps", "bisect_iters", "march_tmax",
-                     "gates", "map_shapes", "map_bindings", "whitted",
-                     "interpret"),
+                     "gates", "map_shapes", "map_bindings", "sky_shape",
+                     "whitted", "interpret"),
 )
 def trace_frame(
     uv2,       # (2, R) f32, R % (block_rows*128) == 0
     alive,     # (R,) f32: 1 real pixel, 0 padding
     seed,      # (R,) uint32 per-pixel seeded state
     scal,      # (16,) f32: cam_pos(3), rotmat(9), ifd, pad
-    mats, ell_tab, imp_tab, tris, attr, uvt, maps,
+    mats, ell_tab, imp_tab, tris, attr, uvt, maps, sky,
     *,
     spp: int,
     max_bounces: int,
@@ -1497,6 +1568,7 @@ def trace_frame(
     gates: tuple = (True, True, True, True, True),
     map_shapes: tuple = (),
     map_bindings: tuple = (),
+    sky_shape: tuple = (),
     whitted: bool = False,
     interpret: bool = False,
 ):
@@ -1538,6 +1610,7 @@ def trace_frame(
         gate_fresnel=gate_fresnel, gate_emit=gate_emit,
         n_uvt_rows=n_uvt_rows,
         map_shapes=map_shapes, map_bindings=map_bindings,
+        sky_shape=sky_shape if whitted else (),
         whitted=whitted,
     )
     vec2 = pl.BlockSpec((2, block_rows, LANES), lambda b, s: (0, b, 0))
@@ -1553,6 +1626,7 @@ def trace_frame(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # attr
             pl.BlockSpec(memory_space=pltpu.VMEM),  # uvt
             pl.BlockSpec(memory_space=pltpu.VMEM),  # maps
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sky
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
             vec2, vec1, vec1,
         ],
@@ -1573,7 +1647,7 @@ def trace_frame(
             jax.ShapeDtypeStruct((nb, spp), jnp.float32),
         ],
         interpret=interpret,
-    )(mats, ell_tab, imp_tab, tris, attr, uvt, maps, scal,
+    )(mats, ell_tab, imp_tab, tris, attr, uvt, maps, sky, scal,
       uv2.reshape(2, *shape), alive.reshape(shape), seed.reshape(shape))
     return (
         inc.reshape(3, r), mc.reshape(spp, 3, r), dout.reshape(spp, 3, r),
@@ -1664,6 +1738,11 @@ def render_fused_frame(scene, info, params, cam_pos, cam_rot, frame_seed,
     ib = jnp.zeros((n_pad,), jnp.float32)
     rays = jnp.zeros((), jnp.float32)
     state = seed
+    # whitted miss shading samples the sky IN-KERNEL when the sky texture
+    # fits the packed table (fs_sky_shape non-empty) — the XLA deferred
+    # pass below compiles away entirely then (round-4 xprof: it was ~8 of
+    # the 8.9 ms whitted frame; the kernel itself is 0.13 ms)
+    sky_shape = getattr(info, "fs_sky_shape", ()) if whitted else ()
     done = 0
     while done < spp:
         k = min(SPP_CHUNK, spp - done)
@@ -1671,6 +1750,7 @@ def render_fused_frame(scene, info, params, cam_pos, cam_rot, frame_seed,
             uv2, alive, state, scal,
             scene.materials, scene.ell_tab, scene.imp_tab,
             scene.fs_tris, scene.fs_attr, scene.fs_uvt, scene.fs_maps,
+            scene.fs_sky,
             spp=k,
             max_bounces=params.max_bounces,
             stack_size=params.refraction_stack,
@@ -1685,20 +1765,26 @@ def render_fused_frame(scene, info, params, cam_pos, cam_rot, frame_seed,
             gates=getattr(info, "mat_gates", (True,) * 5),
             map_shapes=getattr(info, "fs_map_shapes", ()),
             map_bindings=active_map_bindings(info, params),
+            sky_shape=sky_shape,
             whitted=whitted,
             interpret=interpret,
         )
-        # deferred sky over this chunk's (k, R) miss records in one
-        # batched pass, where-masked per channel exactly like trace_fused
-        sr, sg, sb = sky_color_soa(
-            scene.tex_data, scene.tex_sizes,
-            dout[:, 0], dout[:, 1], dout[:, 2])
-        ir = ir + inc[0] + jnp.sum(
-            jnp.where(mc[:, 0] > 0.0, sr * mc[:, 0], 0.0), 0)
-        ig = ig + inc[1] + jnp.sum(
-            jnp.where(mc[:, 1] > 0.0, sg * mc[:, 1], 0.0), 0)
-        ib = ib + inc[2] + jnp.sum(
-            jnp.where(mc[:, 2] > 0.0, sb * mc[:, 2], 0.0), 0)
+        if sky_shape:
+            ir = ir + inc[0]
+            ig = ig + inc[1]
+            ib = ib + inc[2]
+        else:
+            # deferred sky over this chunk's (k, R) miss records in one
+            # batched pass, where-masked per channel like trace_fused
+            sr, sg, sb = sky_color_soa(
+                scene.tex_data, scene.tex_sizes,
+                dout[:, 0], dout[:, 1], dout[:, 2])
+            ir = ir + inc[0] + jnp.sum(
+                jnp.where(mc[:, 0] > 0.0, sr * mc[:, 0], 0.0), 0)
+            ig = ig + inc[1] + jnp.sum(
+                jnp.where(mc[:, 1] > 0.0, sg * mc[:, 1], 0.0), 0)
+            ib = ib + inc[2] + jnp.sum(
+                jnp.where(mc[:, 2] > 0.0, sb * mc[:, 2], 0.0), 0)
         rays = rays + r
         done += k
     col = jnp.stack([ir, ig, ib], axis=-1)[:n] / jnp.float32(spp)

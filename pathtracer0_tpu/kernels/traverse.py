@@ -737,7 +737,10 @@ def surface_sample(hit: Hit, origins, directions, scene,
     u = hit.u[..., None]
     v = hit.v[..., None]
     w = 1.0 - u - v
-    if scene.tri_attr.shape[0] <= ONEHOT_MAX_TRIS:
+    # gate on the TRIANGLE count, not the table size: big scenes carry a
+    # 1-row tri_attr placeholder (scene/packing.py) and must take the
+    # per-array gather path below
+    if scene.tri_v1.shape[0] <= ONEHOT_MAX_TRIS:
         attr = vm.onehot_gather(scene.tri_attr, tri)
         n1 = attr[..., 0:3]
         n2 = attr[..., 3:6]

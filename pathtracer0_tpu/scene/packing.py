@@ -93,13 +93,17 @@ class DeviceScene(NamedTuple):
     fs_attr: jax.Array     # (La, 128) f32
     # In-kernel texture shading (kernels/fused.py): UV + raw-tangent
     # attribute rows (UVT_CAP slots/row, leaf order) and the packed
-    # material-map texel table — one image row per 128-lane table row
-    # (texel (y, x) channel c of the map based at row b sits at
-    # [b + y, 3x + c]), so the kernel's bilinear weight-accumulation can
-    # walk rows with a dynamic sublane index and static lane offsets.
-    # 1-row zero placeholders when the scene has no (eligible) maps.
+    # material-map texel table — image row y of the map based at row b
+    # occupies rows_per_y = ceil(3W/128) table rows; texel (y, x) channel
+    # c sits at [b + y*rows_per_y + (3x+c)//128, (3x+c)%128] — so the
+    # kernel's bilinear weight-accumulation walks rows with a dynamic
+    # sublane index and static lane offsets. 1-row zero placeholders when
+    # the scene has no (eligible) maps.
     fs_uvt: jax.Array      # (Lu, 128) f32
     fs_maps: jax.Array     # (Rm, 128) f32
+    # The sky texture (texture 0) in the same layout, for the in-kernel
+    # equirect miss shade (Whitted mode, kernels/fused._frame_kernel)
+    fs_sky: jax.Array      # (Rs, 128) f32
     ell_tab: jax.Array     # (E, 17) f32: c(3), stretch(3), rad, mat, R(9)
     imp_tab: jax.Array     # (I, 17) f32: shift(3), scale(3), pad, mat, R(9)
 
@@ -138,6 +142,19 @@ class DeviceScene(NamedTuple):
         # static metadata for the traversal kernel (leaf loop trip count)
         sizes = np.asarray(self.leaf_end) - np.asarray(self.leaf_start)
         return int(sizes.max()) if sizes.size else 0
+
+
+def _pack_texel_rows(img: np.ndarray):
+    """Pack an (H, W, 3) image into kernel texel rows: image row y spans
+    rows_per_y = ceil(3W/128) consecutive 128-lane rows (see
+    DeviceScene.fs_maps layout). Returns ((H*rows_per_y, 128) f32, rpy)."""
+    hh, ww = img.shape[0], img.shape[1]
+    rpy = -(-(ww * 3) // 128)
+    block = np.zeros((hh * rpy, 128), np.float32)
+    flat = np.asarray(img, np.float32).reshape(hh, ww * 3)
+    for y in range(hh):
+        block[y * rpy:(y + 1) * rpy].reshape(-1)[: ww * 3] = flat[y]
+    return block, rpy
 
 
 def pack_scene(scene, config: RenderConfig,
@@ -466,11 +483,10 @@ def pack_scene(scene, config: RenderConfig,
             for ti in tex_order:
                 img = np.asarray(scene.textures.images[ti], np.float32)
                 hh, ww = img.shape[0], img.shape[1]
-                fs_map_shapes.append((hh, ww, base))
-                block = np.zeros((hh, 128), np.float32)
-                block[:, : ww * 3] = img.reshape(hh, ww * 3)
+                block, rpy = _pack_texel_rows(img)
+                fs_map_shapes.append((hh, ww, base, rpy))
                 rows.append(block)
-                base += hh
+                base += hh * rpy
             fs_maps = np.concatenate(rows) if rows else fs_maps
             fs_map_bindings = bindings
             if fs_dense_ok:
@@ -502,27 +518,52 @@ def pack_scene(scene, config: RenderConfig,
                             fs_uvt[row, a + 6:a + 9] = traw
                         fs_uvt[row, a + 9] = 1.0
 
-    # Combined attribute table for one-hot fetch (see DeviceScene.tri_attr)
+    # Combined attribute table for one-hot fetch (see DeviceScene.tri_attr).
+    # Only built for scenes the one-hot path can serve (<= ONEHOT_MAX_TRIS,
+    # kernels/traverse.surface_sample) — at the 4M-triangle scale it was a
+    # 432 MB table that the per-array gather path never read (VERDICT r3
+    # #4: superlinear-looking build cost was partly this alloc + upload).
+    from ..kernels.traverse import ONEHOT_MAX_TRIS
+
     n1a = stack3("n1")
     n2a = stack3("n2")
     n3a = stack3("n3")
     uv1a = stack3("uv1", 2)
     uv2a = stack3("uv2", 2)
     uv3a = stack3("uv3", 2)
-    tri_attr = np.zeros((max(n_tri, 1), 27), np.float32)
-    if n_tri:
-        tri_attr[:, 0:3] = n1a
-        tri_attr[:, 3:6] = n2a
-        tri_attr[:, 6:9] = n3a
-        tri_attr[:, 9:11] = uv1a
-        tri_attr[:, 11:13] = uv2a
-        tri_attr[:, 13:15] = uv3a
-        tri_attr[:, 15] = field("has_uv", 0, np.float32)
-        tri_attr[:, 16] = field("has_smooth", 0, np.float32)
-        tri_attr[:, 17] = field("mat", 0, np.float32)
-        tri_attr[:, 18:21] = v1.astype(np.float32)
-        tri_attr[:, 21:24] = v2.astype(np.float32)
-        tri_attr[:, 24:27] = v3.astype(np.float32)
+    if n_tri <= ONEHOT_MAX_TRIS:
+        tri_attr = np.zeros((max(n_tri, 1), 27), np.float32)
+        if n_tri:
+            tri_attr[:, 0:3] = n1a
+            tri_attr[:, 3:6] = n2a
+            tri_attr[:, 6:9] = n3a
+            tri_attr[:, 9:11] = uv1a
+            tri_attr[:, 11:13] = uv2a
+            tri_attr[:, 13:15] = uv3a
+            tri_attr[:, 15] = field("has_uv", 0, np.float32)
+            tri_attr[:, 16] = field("has_smooth", 0, np.float32)
+            tri_attr[:, 17] = field("mat", 0, np.float32)
+            tri_attr[:, 18:21] = v1.astype(np.float32)
+            tri_attr[:, 21:24] = v2.astype(np.float32)
+            tri_attr[:, 24:27] = v3.astype(np.float32)
+    else:
+        tri_attr = np.zeros((1, 27), np.float32)
+
+    # Sky texture table for the in-kernel equirect miss shade (Whitted
+    # mode; kernels/fused._frame_kernel). The XLA deferred-sky pass costs
+    # ~8 ms/frame at 800x600 (xprof round 4: AoS (N,3) tap gathers + mix
+    # dominate the whitted frame, the kernel itself is 0.13 ms) — sampling
+    # the small sky in-kernel with a block row window removes it entirely.
+    from ..kernels.fused import SKY_TEXEL_BUDGET
+
+    fs_sky = np.zeros((1, 128), np.float32)
+    fs_sky_shape = ()
+    _sky_img = (scene.textures.images[0] if len(scene.textures.images)
+                else np.full((1, 1, 3), 0.5, np.float32))
+    _sh, _sw = _sky_img.shape[0], _sky_img.shape[1]
+    if _sh * _sw <= SKY_TEXEL_BUDGET:
+        fs_sky, _rpy = _pack_texel_rows(np.asarray(_sky_img, np.float32))
+        fs_sky_shape = (_sh, _sw, _rpy)
 
     # ADVICE r3 #1: the pre-build streaming estimate assumes near-full
     # leaves; a degenerate SAH partition can blow past it and fail the
@@ -584,6 +625,7 @@ def pack_scene(scene, config: RenderConfig,
         fs_attr=fs_attr,
         fs_uvt=fs_uvt,
         fs_maps=fs_maps,
+        fs_sky=fs_sky,
         ell_tab=ell_tab,
         imp_tab=imp_tab,
         st_top=st_top,
@@ -611,6 +653,7 @@ def pack_scene(scene, config: RenderConfig,
         fs_maps_ok=fs_maps_ok,
         fs_map_shapes=tuple(fs_map_shapes),
         fs_map_bindings=tuple(fs_map_bindings),
+        fs_sky_shape=fs_sky_shape,
         has_rotated_ellipsoids=bool(
             np.any(np.abs(np.asarray(scene.ell_rot, np.float32)) > 0)
         ),
@@ -678,6 +721,9 @@ class StaticSceneInfo(NamedTuple):
     fs_maps_ok: bool = False
     fs_map_shapes: tuple = ()
     fs_map_bindings: tuple = ()
+    # (H, W, rows_per_y) of the packed fs_sky table; () when the sky is
+    # too big for in-kernel sampling (falls back to the XLA deferred pass)
+    fs_sky_shape: tuple = ()
     # Any analytic primitive carries a nonzero rotation (compile-time gate
     # for the per-ray rotation-matrix math in the merge/normal paths)
     has_rotated_ellipsoids: bool = True
