@@ -95,7 +95,10 @@ def choose_ray(m: dict, n1, n2, N, D, state):
         m["Tr"] if m["Tr"] > 0
         else ((tf[0] + tf[1] + tf[2]) / 3.0 if tf[0] > 0 else 0.0)
     )
-    eta = n1 / n2
+    # n2 == 0 happens on a backface hit with an air-only stack (pop leaves
+    # the zero-init slot); GLSL's n1/0.0 is IEEE inf, Python traps — match
+    # the IEEE result (eta only feeds refract, which TIRs out on inf)
+    eta = n1 / n2 if n2 != 0.0 else math.copysign(math.inf, n1)
     fresnel = 0.0
     if m["illum"] == 5 or m["illum"] == 7 or transmission_w > 0:
         fresnel = fresnel_reflect_amount(n1, n2, N, D)
@@ -211,9 +214,11 @@ def ray_scene_ellipsoids(o, d, ells):
     return None
 
 
-def trace(o, d, state, ells, mats, sky_img, max_bounces):
+def trace(o, d, state, ells, mats, sky_img, max_bounces, scene_full=None):
     """frag.glsl:810-882 with sequential draw consumption. mats: list of
-    dicts (see mtl_dict). Returns (incLight 3-tuple, state)."""
+    dicts (see mtl_dict). scene_full, when given, is (bvh, tris, roots)
+    from scene_dicts() — the query then covers object BVHs too (the
+    triangle/BVH oracle below). Returns (incLight 3-tuple, state)."""
     O, D = tuple(o), tuple(d)
     col = [1.0, 1.0, 1.0]
     inc = [0.0, 0.0, 0.0]
@@ -245,7 +250,11 @@ def trace(o, d, state, ells, mats, sky_img, max_bounces):
     bounce = 0
     while bounce < max_bounces:
         bounce += 1
-        hit = ray_scene_ellipsoids(O, D, ells)
+        if scene_full is not None:
+            hit = ray_scene_full(O, D, scene_full[0], scene_full[1],
+                                 scene_full[2], ells)
+        else:
+            hit = ray_scene_ellipsoids(O, D, ells)
         if hit is not None:
             _t, N, mat_i, loc = hit
             O = loc
@@ -307,7 +316,7 @@ def mtl_dict(m):
 
 def render_image(width, height, spp, frame_seed, cam, rot, ells, mats,
                  sky_img, max_bounces, cam_size=1.5, focal_length=1.0,
-                 blur=0.0, focal_distance=1.0):
+                 blur=0.0, focal_distance=1.0, scene_full=None):
     """frag.glsl:884-913 (path mode, autofocus off): per-pixel stream
     seeded index + u_seed, DOF draws consumed every sample, one image
     (H, W, 3) float64."""
@@ -336,7 +345,7 @@ def render_image(width, height, spp, frame_seed, cam, rot, ells, mats,
                               for k in range(3))
                 dadj = _norm(tuple(focal[k] - oj[k] for k in range(3)))
                 c, state = trace(oj, dadj, state, ells, mats, sky_img,
-                                 max_bounces)
+                                 max_bounces, scene_full=scene_full)
                 col += np.asarray(c)
             img[iy, ix] = col / spp
     return img
@@ -376,3 +385,176 @@ def java_vec_rotate(p, rot):
     cz, sz = math.cos(rot[2]), math.sin(rot[2])
     x, y = cz * x - sz * y, sz * x + cz * y
     return (x, y, z)
+
+
+# ---------------------------------------------------------------------------
+# Triangle + BVH oracle (VERDICT r3 #5): rayTri (frag.glsl:351-372), rayBox
+# (frag.glsl:408-419, with the repo's documented safe-inverse fix —
+# PARITY.md: an axis-parallel ray over an on-plane box boundary is UB in
+# the GLSL), and the iterative stack-walk rayBVH (frag.glsl:452-537) over
+# the repo's flattened forest arrays, with the PARITY.md flat/smooth-normal
+# deviations (face normal in all three slots + has_smooth mask; interp
+# reads n3 from the n3 slot, not n2). Sequential and scalar throughout —
+# an independent implementation of everything the packet/fused kernels do.
+# ---------------------------------------------------------------------------
+
+EPSILON = 1e-10  # frag.glsl:228
+
+
+def _cross(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def ray_tri(o, d, v1, v2, v3):
+    """frag.glsl:351-372 Moller-Trumbore; (t, u, v) or None."""
+    e1 = tuple(v2[k] - v1[k] for k in range(3))
+    e2 = tuple(v3[k] - v1[k] for k in range(3))
+    p = _cross(d, e2)
+    det = _dot(e1, p)
+    if abs(det) < EPSILON:
+        return None
+    inv = 1.0 / det
+    s = tuple(o[k] - v1[k] for k in range(3))
+    u = _dot(s, p) * inv
+    if u < 0.0 or u > 1.0:
+        return None
+    q = _cross(s, e1)
+    v = _dot(d, q) * inv
+    if v < 0.0 or u + v > 1.0:
+        return None
+    t = _dot(e2, q) * inv
+    return (t, u, v) if t > EPSILON else None
+
+
+def ray_box(o, d, mn, mx):
+    """frag.glsl:408-419 slab test with the safe-inverse deviation
+    (kernels/intersect.safe_inv_dir): entry distance, 0 inside, 1e30 miss."""
+    t_near = -math.inf
+    t_far = math.inf
+    for k in range(3):
+        dk = d[k] if d[k] != 0.0 else 1e-30
+        inv = max(-1e30, min(1e30, 1.0 / dk))
+        a = (mn[k] - o[k]) * inv
+        b = (mx[k] - o[k]) * inv
+        t_near = max(t_near, min(a, b))
+        t_far = min(t_far, max(a, b))
+    if t_far >= t_near and t_far > 0.0:
+        return t_near if t_near > 0.0 else 0.0
+    return 1e30
+
+
+def ray_bvh(o, d, root, closest_t, bvh, tris):
+    """frag.glsl:452-537: 64-deep stack walk of ONE object tree, far child
+    pushed first, closest-t pruning. bvh: dict of flattened arrays
+    (node_min, node_max, left, right, leaf_start, leaf_end, leaf_tri);
+    tris: dict of per-triangle arrays (v1, v2, v3, n1, n2, n3, has_smooth,
+    uv1, uv2, uv3, has_uv, mat). Returns (closest_t, hit dict or None)."""
+    nm, nx = bvh["node_min"], bvh["node_max"]
+    left, right = bvh["left"], bvh["right"]
+    ls, le, lt = bvh["leaf_start"], bvh["leaf_end"], bvh["leaf_tri"]
+    best = None
+    if ray_box(o, d, nm[root], nx[root]) > closest_t:
+        return closest_t, None
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        lc, rc = int(left[node]), int(right[node])
+        if lc == -1 and rc == -1:
+            for i in range(int(ls[node]), int(le[node])):
+                ti = int(lt[i])
+                hit = ray_tri(o, d, tris["v1"][ti], tris["v2"][ti],
+                              tris["v3"][ti])
+                if hit is not None and 0.0 < hit[0] < closest_t:
+                    t, u, v = hit
+                    closest_t = t
+                    if tris["has_smooth"][ti]:
+                        n1, n2, n3 = (tris["n1"][ti], tris["n2"][ti],
+                                      tris["n3"][ti])
+                        norm = _norm(tuple(
+                            n2[k] * u + n3[k] * v + (1.0 - u - v) * n1[k]
+                            for k in range(3)))
+                    else:
+                        norm = tuple(tris["n1"][ti])
+                    if tris["has_uv"][ti]:
+                        u1, u2, u3 = (tris["uv1"][ti], tris["uv2"][ti],
+                                      tris["uv3"][ti])
+                        uvs = tuple(
+                            u2[k] * u + u3[k] * v + (1.0 - u - v) * u1[k]
+                            for k in range(2))
+                        uvs = (uvs[0], 1.0 - uvs[1])
+                    else:
+                        uvs = (-1.0, -1.0)
+                    best = dict(t=t, norm=norm, mat=int(tris["mat"][ti]),
+                                uv=uvs, tri=ti)
+        else:
+            ld = ray_box(o, d, nm[max(0, lc)], nx[max(0, lc)])
+            rd = ray_box(o, d, nm[max(0, rc)], nx[max(0, rc)])
+            if ld > rd:
+                if ld < closest_t:
+                    stack.append(lc)
+                if rd < closest_t:
+                    stack.append(rc)
+            else:
+                if rd < closest_t:
+                    stack.append(rc)
+                if ld < closest_t:
+                    stack.append(lc)
+    return closest_t, best
+
+
+def ray_scene_full(o, d, bvh, tris, roots, ells):
+    """frag.glsl:548-653 closest hit over object BVHs (closest-t carried
+    across roots) + analytic ellipsoids. Returns (t, N, mat, loc) or None."""
+    o = (o[0] + 1e-4 * d[0], o[1] + 1e-4 * d[1], o[2] + 1e-4 * d[2])
+    closest = 1e30
+    best = None
+    for root in roots:
+        closest, hit = ray_bvh(o, d, int(root), closest, bvh, tris)
+        if hit is not None:
+            best = hit
+    for e in ells:
+        t = ray_ellipsoid(o, d, e["c"], e["r"], *e["stretch"])
+        if t < closest:
+            closest = t
+            hitp = (o[0] + t * d[0], o[1] + t * d[1], o[2] + t * d[2])
+            best = dict(t=t, norm=_norm((
+                hitp[0] - e["c"][0], hitp[1] - e["c"][1],
+                hitp[2] - e["c"][2])), mat=e["mat"], uv=(-1.0, -1.0))
+    if best is None:
+        return None
+    loc = (o[0] + closest * d[0], o[1] + closest * d[1],
+           o[2] + closest * d[2])
+    return closest, best["norm"], best["mat"], loc
+
+
+def scene_dicts(dev, info):
+    """DeviceScene -> the plain-python arrays the oracle walks."""
+    import numpy as np
+
+    bvh = dict(
+        node_min=np.asarray(dev.node_min, np.float64),
+        node_max=np.asarray(dev.node_max, np.float64),
+        left=np.asarray(dev.node_left),
+        right=np.asarray(dev.node_right),
+        leaf_start=np.asarray(dev.leaf_start),
+        leaf_end=np.asarray(dev.leaf_end),
+        leaf_tri=np.asarray(dev.leaf_tri),
+    )
+    tris = dict(
+        v1=np.asarray(dev.tri_v1, np.float64),
+        v2=np.asarray(dev.tri_v2, np.float64),
+        v3=np.asarray(dev.tri_v3, np.float64),
+        n1=np.asarray(dev.tri_n1, np.float64),
+        n2=np.asarray(dev.tri_n2, np.float64),
+        n3=np.asarray(dev.tri_n3, np.float64),
+        uv1=np.asarray(dev.tri_uv1, np.float64),
+        uv2=np.asarray(dev.tri_uv2, np.float64),
+        uv3=np.asarray(dev.tri_uv3, np.float64),
+        has_uv=np.asarray(dev.tri_has_uv),
+        has_smooth=np.asarray(dev.tri_has_smooth),
+        mat=np.asarray(dev.tri_mat),
+    )
+    roots = [int(r) for r in np.asarray(dev.roots)]
+    return bvh, tris, roots
