@@ -126,6 +126,42 @@ def test_frame_kernel_parity():
     assert abs(ra - rb) <= 0.01 * ra + 16
 
 
+def test_frame_chunk_scan_invariance(monkeypatch):
+    """render_fused_frame's sample-axis chunking must be invisible: a frame
+    rolled through the lax.scan body (many small chunks) must equal the
+    single-chunk launch. The RNG stream is chunk-invariant by construction
+    (each chunk starts from the previous chunk's carried state) and chunk
+    sums accumulate in sample order either way, so agreement is bit-level
+    up to float addition in the deferred-sky reduction."""
+    from pathtracer0_tpu.kernels import fused
+    from pathtracer0_tpu.render.renderer import render_frame, _frame_params
+    from pathtracer0_tpu.config import RenderConfig
+
+    dev, info = scenes.metal_glass().build(max_leaf=4)
+    cam, rot = scenes.CAMERAS[2]
+
+    def go():
+        cfg = RenderConfig(width=16, height=8, samples_per_frame=8,
+                           max_bounces=3, raytracing=True, auto_focus=False,
+                           blur=0.001, fused="interpret")
+        img, rays = render_frame(
+            dev, jnp.asarray(cam, jnp.float32),
+            jnp.asarray(rot, jnp.float32), jnp.uint32(4321),
+            info=info, params=_frame_params(cfg), width=cfg.width,
+            height=cfg.height, spp=cfg.samples_per_frame, raytracing=True,
+            auto_focus=False, cam_size=cfg.cam_size,
+            focal_length=cfg.focal_length, blur=cfg.blur,
+            focal_distance=cfg.focal_distance)
+        return np.asarray(img), float(rays)
+
+    one, r_one = go()                       # spp=8 < chunk: single launch
+    monkeypatch.setattr(fused, "SPP_CHUNK", 2)
+    scanned, r_scan = go()                  # 4 full chunks -> scan path
+    assert np.isfinite(scanned).all()
+    np.testing.assert_allclose(scanned, one, atol=1e-6)
+    assert r_scan == r_one
+
+
 def test_frame_kernel_whitted_parity():
     """Whitted mode of the whole-frame kernel (one in-kernel closest-hit +
     directDiffuse shade) vs the XLA direct_diffuse path."""
