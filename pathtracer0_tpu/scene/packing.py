@@ -116,6 +116,11 @@ class DeviceScene(NamedTuple):
 
     # Materials (SSBO binding 14, dispatch.java:270-329)
     materials: jax.Array  # (M, 48) f32
+    # Legacy 18-float materials (SSBO binding 6, dispatch.java:538-551;
+    # decoded by the dormant newMat, raytrace.glsl:162-178). The leading
+    # count element of the reference buffer becomes info.n_legacy_mats.
+    # One zero row when none (fixed pytree shape).
+    legacy_mats: jax.Array  # (max(Ml, 1), 18) f32
 
     # Textures (bindless handles in the reference, dispatch.java:331-379)
     tex_data: jax.Array   # (K, Hmax, Wmax, 3) f32
@@ -402,6 +407,14 @@ def pack_scene(scene, config: RenderConfig,
     # the whole mapMtl stage (12 bilinear samples/ray/bounce in the
     # reference, frag.glsl:210-225) compiles away entirely.
     mats = pack_materials(scene.materials)
+    # Legacy 18-float records (Scene.add_mat -> SSBO-6 analogue): the
+    # reference packs [count, 18*N floats] (dispatch.java:538-551); here
+    # the count is static (info.n_legacy_mats) and the rows are the array
+    lm_list = getattr(scene, "legacy_mats", [])
+    if lm_list:
+        legacy_mats = np.asarray(lm_list, np.float32).reshape(-1, 18)
+    else:
+        legacy_mats = np.zeros((1, 18), np.float32)
     map_cols = [21, 22, 23, 31, 32, 33, 34, 35, 37, 38, 39, 40]  # COL map_*
     has_maps = bool(mats.shape[0]) and bool((mats[:, map_cols] >= 0).any())
     has_normal_maps = bool(mats.shape[0]) and bool((mats[:, 36] >= 0).any())
@@ -633,6 +646,7 @@ def pack_scene(scene, config: RenderConfig,
         st_sub=st_sub,
         st_perm=st_perm,
         materials=mats,
+        legacy_mats=legacy_mats,
         tex_data=tex_data,
         tex_sizes=tex_sizes,
     )
@@ -666,6 +680,7 @@ def pack_scene(scene, config: RenderConfig,
         st_treelet_rows=st_treelet_rows,
         st_leaf_cap=st_leaf_cap,
         num_tri_objects=len(object_ranges),
+        n_legacy_mats=len(lm_list),
         lights=tuple(
             (k, s0, e0, m) for (k, s0, e0, m, _, _) in
             getattr(scene, "disk_lights", [])
@@ -738,6 +753,9 @@ class StaticSceneInfo(NamedTuple):
     st_treelet_rows: int = 0
     st_leaf_cap: int = 0
     num_tri_objects: int = 0
+    # Legacy 18-float material count (Scene.add_mat; the reference
+    # buffer's leading count element, dispatch.java:540)
+    n_legacy_mats: int = 0
     # Legacy emissive-disk lights (shade/arealights.py): static tuples of
     # (kind, id_start, id_end, material), centers, radii
     lights: tuple = ()

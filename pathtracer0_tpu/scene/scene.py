@@ -49,6 +49,11 @@ class Scene:
         # Legacy emissive-disk area lights (raytrace.glsl EmissiveData):
         # (kind, id_start, id_end, material, center, radius)
         self.disk_lights: List[tuple] = []
+        # Legacy 18-float materials (addMat, dispatch.java:1025-1046 ->
+        # SSBO binding 6): the reference's OLD material system, kept
+        # alongside the 48-float records exactly as the host does
+        # (dispatch.java:94-98 keeps both lists)
+        self.legacy_mats: List[tuple] = []
 
     # -- sky ---------------------------------------------------------------
     def set_sky(self, image: Union[str, np.ndarray], name: str = "sky"):
@@ -75,6 +80,23 @@ class Scene:
         if not self.materials:
             raise RuntimeError("no material added yet")
         self.materials[-1].set(prop, value)
+
+    def add_mat(self, KaR, KaG, KaB, KdR, KdG, KdB, KsR, KsG, KsB,
+                alpha, reflectivity, transmission, ref_index, emission,
+                emissive_radius, solid, absorption, texture_id):
+        """Legacy 18-float material (`addMat`, dispatch.java:1025-1046) —
+        the reference's OLD material system, uploaded to SSBO binding 6
+        (dispatch.java:538-551) and decoded by the legacy compute shader's
+        `newMat` (raytrace.glsl:162-178). The active renderer never reads
+        these records (frag.glsl has no MatData block; even the legacy
+        shader defines newMat but never calls it), so like the reference
+        this is a stored-but-dormant registry: packed into
+        DeviceScene.legacy_mats and decodable via shade/mtl.decode_legacy.
+        Argument order matches the reference signature exactly."""
+        self.legacy_mats.append(tuple(float(v) for v in (
+            KaR, KaG, KaB, KdR, KdG, KdB, KsR, KsG, KsB,
+            alpha, reflectivity, transmission, ref_index, emission,
+            emissive_radius, solid, absorption, texture_id)))
 
     @property
     def _material_names(self) -> List[str]:

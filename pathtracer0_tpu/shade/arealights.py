@@ -17,9 +17,16 @@ parity surface; it replicates the legacy semantics:
   * Phong illum modes (raytrace.glsl:744-756): 0 diffuse only; 1 adds
     ambient Ka once; 2 adds Ka once + specular
     max(Ks*lightKs*pow(dot(R,V), Ns), 0);
-  * an emissive surface returns its own Ke (raytrace.glsl:681-683;
-    deviation: the legacy 18-float `mat.emission` strength does not exist
-    in the 48-float records, so strength is |Ke| > 0 ? 1 : 0).
+  * EmissionStrength is the 48-float record's Density slot — the legacy
+    shader decodes slot 20 as EmissionStrength (raytrace.glsl:190) where
+    the active layout stores Density, and the host couples Density=|Ke|
+    at parse time (dispatch.java:1357-1361). Soft-shadow intensity scales
+    by it (raytrace.glsl:738) and an emissive surface returns
+    Ke*EmissionStrength (raytrace.glsl:682-683). One documented fix: the
+    reference gates the emissive early-return on EmissionStrength > 0,
+    but Density DEFAULTS to 1 (dispatch.java:1524), so the dead shader
+    would have early-returned black Ke for every default material; the
+    gate here is |Ke| > 0 instead.
 
 Light jitter uses the counted per-ray RNG (uniform cube / 2, the
 raytrace.glsl:729 semantics) so renders stay deterministic/resumable.
@@ -113,7 +120,9 @@ def shade_point(origins, directions, state, scene, info, params,
                     )
                     hits = hits + _collection_hit(
                         sh_hit, kind, id_start, id_end).astype(jnp.float32)
-            intensity = hits / max(total, 1)
+            # intensity = EmissionStrength * hits/total (raytrace.glsl:738);
+            # strength is the light material's Density slot (see module doc)
+            intensity = lm.Density * hits / max(total, 1)
 
         l_dir = vm.normalize(center - surf.loc)
         diffuse = (m.Kd * i_d * intensity[:, None]
@@ -138,9 +147,11 @@ def shade_point(origins, directions, state, scene, info, params,
         did_ambient = did_ambient | (m.illum >= 1)
         col = col + contrib
 
-    # emissive surfaces return their own Ke (raytrace.glsl:681-683)
+    # emissive surfaces return Ke * EmissionStrength (raytrace.glsl:
+    # 682-683); gated on |Ke| > 0, not EmissionStrength > 0 — see the
+    # module docstring for why the reference's own gate is a dead-code bug
     is_emissive = jnp.any(m.Ke > 0.0, axis=-1)
-    col = jnp.where(is_emissive[:, None], m.Ke, col)
+    col = jnp.where(is_emissive[:, None], m.Ke * m.Density[:, None], col)
 
     sky = sky_color(scene.tex_data, scene.tex_sizes, directions)
     return jnp.where(hit.is_hit[:, None], col, sky), state

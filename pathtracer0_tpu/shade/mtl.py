@@ -73,6 +73,43 @@ def decode(materials, mat_idx):
     ), rec
 
 
+class LegacyMat(NamedTuple):
+    """The legacy 18-float `mat` record (raytrace.glsl:75-88)."""
+
+    Ka: jax.Array            # (B, 3)
+    Kd: jax.Array            # (B, 3)
+    Ks: jax.Array            # (B, 3)
+    alpha: jax.Array         # (B,) Phong exponent
+    refl: jax.Array          # (B,) reflectivity 0-1
+    trans: jax.Array         # (B,) transmission 0-1
+    refr_index: jax.Array    # (B,)
+    emission: jax.Array      # (B,) emission strength
+    emissive_radius: jax.Array  # (B,)
+    solid: jax.Array         # (B,) bool
+    absorption: jax.Array    # (B,)
+    texture_id: jax.Array    # (B,) int32
+
+
+def decode_legacy(legacy_mats, mat_idx):
+    """`newMat` (raytrace.glsl:162-178): decode DeviceScene.legacy_mats
+    records (Scene.add_mat, the SSBO-6 analogue — dispatch.java:538-551).
+    Field order matches the addMat packing (dispatch.java:1025-1046).
+
+    Deviation (documented): the reference's textureID read uses stride 17
+    (`MatData[17*m + 18]`, raytrace.glsl:176) — correct only for m == 0,
+    off into a neighboring record otherwise. This decode reads the slot
+    the host actually packed it into (column 17 of every record)."""
+    rec = onehot_gather(legacy_mats, jnp.maximum(mat_idx, 0))
+    return LegacyMat(
+        Ka=rec[..., 0:3], Kd=rec[..., 3:6], Ks=rec[..., 6:9],
+        alpha=rec[..., 9], refl=rec[..., 10], trans=rec[..., 11],
+        refr_index=rec[..., 12], emission=rec[..., 13],
+        emissive_radius=rec[..., 14], solid=rec[..., 15] != 0.0,
+        absorption=rec[..., 16],
+        texture_id=rec[..., 17].astype(jnp.int32),
+    )
+
+
 def apply_maps(m: Mtl, rec, uv, tex_data, tex_sizes, enable: bool = True,
                present=None):
     """mapMtl (frag.glsl:210-225). `rec` is the raw record (for map indices).
