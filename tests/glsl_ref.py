@@ -210,15 +210,18 @@ def ray_scene_ellipsoids(o, d, ells):
     if closest < 1e25:
         loc = (o[0] + closest * d[0], o[1] + closest * d[1],
                o[2] + closest * d[2])
-        return closest, N, mat, loc
+        return closest, N, mat, loc, (-1.0, -1.0)
     return None
 
 
-def trace(o, d, state, ells, mats, sky_img, max_bounces, scene_full=None):
+def trace(o, d, state, ells, mats, sky_img, max_bounces, scene_full=None,
+          textures=None):
     """frag.glsl:810-882 with sequential draw consumption. mats: list of
     dicts (see mtl_dict). scene_full, when given, is (bvh, tris, roots)
     from scene_dicts() — the query then covers object BVHs too (the
-    triangle/BVH oracle below). Returns (incLight 3-tuple, state)."""
+    triangle/BVH oracle below). textures, when given, enables the mapMtl
+    override stage (frag.glsl:826 -> map_mtl above) using the hit's
+    barycentric UV. Returns (incLight 3-tuple, state)."""
     O, D = tuple(o), tuple(d)
     col = [1.0, 1.0, 1.0]
     inc = [0.0, 0.0, 0.0]
@@ -256,9 +259,11 @@ def trace(o, d, state, ells, mats, sky_img, max_bounces, scene_full=None):
         else:
             hit = ray_scene_ellipsoids(O, D, ells)
         if hit is not None:
-            _t, N, mat_i, loc = hit
+            _t, N, mat_i, loc, uv = hit
             O = loc
             m = mats[mat_i]
+            if textures is not None:
+                m = map_mtl(m, uv, textures)
             ND = _dot(N, D)
             if ND > 0:
                 N = (-N[0], -N[1], -N[2])
@@ -311,12 +316,39 @@ def mtl_dict(m):
         Tr=float(m.Tr), Ni=float(m.Ni), Density=float(m.Density),
         illum=int(m.illum), Pm=float(m.Pm), Pr=float(m.Pr),
         Pc=float(m.Pc), Pcr=float(m.Pcr), subsurface=float(m.subsurface),
+        map_Kd=int(m.map_Kd), map_Ks=int(m.map_Ks), map_Ke=int(m.map_Ke),
+        map_Tr=int(m.map_Tr), map_Pm=int(m.map_Pm), map_Pr=int(m.map_Pr),
+        map_Pc=int(m.map_Pc),
     )
+
+
+def map_mtl(m, uv, textures):
+    """frag.glsl:210-225 mapMtl restricted to the fields trace/choose_ray
+    consume: map_Kd MULTIPLIES Kd; map_Ks/map_Ke REPLACE their vec3;
+    map_Tr/map_Pm/map_Pr/map_Pc REPLACE the scalar with the sample's .r.
+    (map_Ka/map_d/map_Ns/map_Ps also exist in the shader but never reach
+    the path integrator's arithmetic.) textures: list of (H, W, 3) arrays
+    indexed like the registry."""
+    out = dict(m)
+    u, v = uv
+    if m.get("map_Kd", -1) > -1:
+        s = sample_texture(textures[m["map_Kd"]], u, v)
+        out["Kd"] = tuple(m["Kd"][k] * s[k] for k in range(3))
+    if m.get("map_Ks", -1) > -1:
+        out["Ks"] = sample_texture(textures[m["map_Ks"]], u, v)
+    if m.get("map_Ke", -1) > -1:
+        out["Ke"] = sample_texture(textures[m["map_Ke"]], u, v)
+    for ch, field in (("map_Tr", "Tr"), ("map_Pm", "Pm"),
+                      ("map_Pr", "Pr"), ("map_Pc", "Pc")):
+        if m.get(ch, -1) > -1:
+            out[field] = sample_texture(textures[m[ch]], u, v)[0]
+    return out
 
 
 def render_image(width, height, spp, frame_seed, cam, rot, ells, mats,
                  sky_img, max_bounces, cam_size=1.5, focal_length=1.0,
-                 blur=0.0, focal_distance=1.0, scene_full=None):
+                 blur=0.0, focal_distance=1.0, scene_full=None,
+                 textures=None):
     """frag.glsl:884-913 (path mode, autofocus off): per-pixel stream
     seeded index + u_seed, DOF draws consumed every sample, one image
     (H, W, 3) float64."""
@@ -345,7 +377,8 @@ def render_image(width, height, spp, frame_seed, cam, rot, ells, mats,
                               for k in range(3))
                 dadj = _norm(tuple(focal[k] - oj[k] for k in range(3)))
                 c, state = trace(oj, dadj, state, ells, mats, sky_img,
-                                 max_bounces, scene_full=scene_full)
+                                 max_bounces, scene_full=scene_full,
+                                 textures=textures)
                 col += np.asarray(c)
             img[iy, ix] = col / spp
     return img
@@ -526,7 +559,8 @@ def ray_scene_full(o, d, bvh, tris, roots, ells):
         return None
     loc = (o[0] + closest * d[0], o[1] + closest * d[1],
            o[2] + closest * d[2])
-    return closest, best["norm"], best["mat"], loc
+    return (closest, best["norm"], best["mat"], loc,
+            best.get("uv", (-1.0, -1.0)))
 
 
 def scene_dicts(dev, info):

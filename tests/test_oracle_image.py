@@ -192,3 +192,118 @@ def test_mesh_renderer_matches_oracle(oracle_mesh_image,
     err = img_util.rmse(np.clip(oracle_mesh_image, 0, 1),
                         np.clip(renderer_mesh_image, 0, 1))
     assert err < 0.02, err
+
+
+# ---------------------------------------------------------------------------
+# Texture-mapped oracle parity: the mapMtl override stage
+# (frag.glsl:210-225) against the scalar bilinear sampler — multiply
+# semantics (map_Kd), scalar replacement (map_Pr), GL_REPEAT wrap, and the
+# v-flip at hit time (frag.glsl:513). No map_norm: the ACTIVE reference
+# shader computes tangents but never applies normal maps, and this test
+# pins the active surface only.
+# ---------------------------------------------------------------------------
+
+
+def _textured_scene():
+    from pathtracer0_tpu import Scene
+
+    sc = Scene()
+    sky = np.zeros((64, 128, 3), np.float32)
+    for row in range(64):
+        t = row / 63.0
+        sky[row] = (0.35 + 0.3 * t, 0.45 + 0.25 * t, 0.9 - 0.3 * t)
+    sc.set_sky(sky, "sky")
+
+    checker = np.zeros((8, 8, 3), np.float32)
+    checker[::2, ::2] = checker[1::2, 1::2] = (0.9, 0.88, 0.8)
+    checker[::2, 1::2] = checker[1::2, ::2] = (0.15, 0.2, 0.45)
+    checker_i = sc.textures.register_array(checker, "checker")
+    rough = np.tile(np.linspace(0.05, 1.0, 8, dtype=np.float32)
+                    [None, :, None], (8, 1, 3))
+    rough_i = sc.textures.register_array(rough, "rough")
+
+    sc.add_material("checkered")
+    sc.set_last_mtl("Kd", (1.0, 0.9, 0.95))
+    sc.set_last_mtl("Pr", 1.0)
+    sc.set_last_mtl("map_Kd", checker_i)
+    sc.add_material("roughmetal")
+    sc.set_last_mtl("Pm", 1.0)
+    sc.set_last_mtl("Ks", (0.9, 0.85, 0.7))
+    sc.set_last_mtl("Kd", (0.9, 0.85, 0.7))
+    sc.set_last_mtl("map_Pr", rough_i)
+    sc.add_material("ground")
+    sc.set_last_mtl("Kd", (0.5, 0.52, 0.5))
+    sc.set_last_mtl("Pr", 1.0)
+
+    def quad(a, b, c, d, m, uv_scale):
+        a, b, c, d = (np.asarray(p, np.float64) for p in (a, b, c, d))
+        uv = np.asarray([(0, 0), (uv_scale, 0), (uv_scale, uv_scale),
+                         (0, uv_scale)], np.float64)
+        sc.add_mesh(np.stack([a, a]), np.stack([b, c]), np.stack([c, d]),
+                    m, uvs=(np.stack([uv[0], uv[0]]),
+                            np.stack([uv[1], uv[2]]),
+                            np.stack([uv[2], uv[3]])))
+
+    # UV'd checkered floor quad + a tilted rough-metal wall quad
+    quad((-2.5, -0.6, 2.5), (2.5, -0.6, 2.5), (2.5, -0.6, 7.5),
+         (-2.5, -0.6, 7.5), 0, 3.0)
+    quad((-1.8, -0.6, 6.8), (1.8, -0.6, 6.8), (1.8, 2.0, 6.2),
+         (-1.8, 2.0, 6.2), 1, 1.0)
+    sc.add_sphere((0.0, -100.8, 5.0), 100.0, m=2)
+    return sc
+
+
+TEX_CAM = ((0.0, 0.6, 0.0), (0.1, 0.0, 0.0))
+
+
+@pytest.fixture(scope="module")
+def oracle_textured_image():
+    sc = _textured_scene()
+    dev, info = sc.build(max_leaf=2)
+    scene_full = glsl_ref.scene_dicts(dev, info)
+    ells = [
+        dict(c=sc.ell_c[i], stretch=sc.ell_stretch[i], r=sc.ell_rad[i],
+             mat=sc.ell_mat[i])
+        for i in range(len(sc.ell_rad))
+    ]
+    mats = [glsl_ref.mtl_dict(m) for m in sc.materials]
+    cam, rot = TEX_CAM
+    return glsl_ref.render_image(
+        MW, MH, SPP, SEED, cam, rot, ells, mats, sc.textures.images[0],
+        BOUNCES, scene_full=scene_full, textures=sc.textures.images)
+
+
+@pytest.fixture(scope="module")
+def renderer_textured_image():
+    dev, info = _textured_scene().build(max_leaf=2)
+    cam, rot = TEX_CAM
+    cfg = RenderConfig(width=MW, height=MH, samples_per_frame=SPP,
+                       max_bounces=BOUNCES, raytracing=True,
+                       auto_focus=False, blur=0.0)
+    img, _ = render_frame(
+        dev, jnp.asarray(cam, jnp.float32), jnp.asarray(rot, jnp.float32),
+        jnp.uint32(SEED), **{
+            "info": info, "params": _frame_params(cfg), "width": MW,
+            "height": MH, "spp": SPP, "raytracing": True,
+            "auto_focus": False, "cam_size": cfg.cam_size,
+            "focal_length": cfg.focal_length, "blur": 0.0,
+            "focal_distance": cfg.focal_distance})
+    return np.asarray(img, np.float64)
+
+
+def test_textured_renderer_matches_oracle(oracle_textured_image,
+                                          renderer_textured_image):
+    """The texture-mapped pipeline against the scalar oracle: bilinear
+    REPEAT map_Kd multiply on the checkered floor, map_Pr roughness
+    replacement driving the metal lobe weights, UV interpolation + v-flip
+    through the BVH hit path."""
+    diff = np.abs(oracle_textured_image
+                  - renderer_textured_image).max(axis=-1)
+    frac_exact = (diff < 2e-3).mean()
+    assert frac_exact >= 0.98, frac_exact
+    err = img_util.rmse(np.clip(oracle_textured_image, 0, 1),
+                        np.clip(renderer_textured_image, 0, 1))
+    assert err < 0.02, err
+    # sanity: the checker actually modulates the floor (not a flat image)
+    floor = np.clip(renderer_textured_image, 0, 1)[:MH // 3]
+    assert floor.std() > 0.02
