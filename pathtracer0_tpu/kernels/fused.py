@@ -1586,6 +1586,18 @@ def trace_frame(
     assert r % rb == 0, (r, rb)
     nb = r // rb
     shape = (r // LANES, LANES)
+    # sky_ref is only read when the in-kernel sky is on (whitted +
+    # sky_shape); otherwise ship a 1-row placeholder instead of the full
+    # packed table (up to ~196 KB of dead VMEM in the budgeted megakernel)
+    if not (whitted and sky_shape):
+        sky = jnp.zeros((1, LANES), jnp.float32)
+    # ...and when the sky IS resolved in-kernel, the deferred-miss slabs
+    # (mc/dout) are discarded by the caller — collapse their HBM footprint
+    # from (spp, 3, R) to a single (1, 3, R) slab every sample overwrites
+    defer_sky = not (whitted and sky_shape)
+    miss_spp = spp if defer_sky else 1
+    miss_map = ((lambda b, s: (s, 0, b, 0)) if defer_sky
+                else (lambda b, s: (0, 0, b, 0)))
     n_rows = tris.shape[0] if tris.shape[0] > 1 else 0
     n_attr_rows = attr.shape[0] if n_rows else 0
     n_uvt_rows = uvt.shape[0] if (n_rows and map_bindings) else 0
@@ -1637,24 +1649,23 @@ def trace_frame(
         out_specs=[
             pl.BlockSpec((3, block_rows, LANES), lambda b, s: (0, b, 0)),
             vec1,
-            pl.BlockSpec((1, 3, block_rows, LANES),
-                         lambda b, s: (s, 0, b, 0)),
-            pl.BlockSpec((1, 3, block_rows, LANES),
-                         lambda b, s: (s, 0, b, 0)),
+            pl.BlockSpec((1, 3, block_rows, LANES), miss_map),
+            pl.BlockSpec((1, 3, block_rows, LANES), miss_map),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((3,) + shape, jnp.float32),
             jax.ShapeDtypeStruct(shape, jnp.uint32),
-            jax.ShapeDtypeStruct((spp, 3) + shape, jnp.float32),
-            jax.ShapeDtypeStruct((spp, 3) + shape, jnp.float32),
+            jax.ShapeDtypeStruct((miss_spp, 3) + shape, jnp.float32),
+            jax.ShapeDtypeStruct((miss_spp, 3) + shape, jnp.float32),
             jax.ShapeDtypeStruct((nb, spp), jnp.float32),
         ],
         interpret=interpret,
     )(mats, ell_tab, imp_tab, tris, attr, uvt, maps, sky, scal,
       uv2.reshape(2, *shape), alive.reshape(shape), seed.reshape(shape))
     return (
-        inc.reshape(3, r), mc.reshape(spp, 3, r), dout.reshape(spp, 3, r),
+        inc.reshape(3, r),
+        mc.reshape(miss_spp, 3, r), dout.reshape(miss_spp, 3, r),
         state.reshape(r), jnp.sum(rays),
     )
 

@@ -201,18 +201,27 @@ class FrameLoopDriver:
 
     def _watchdog_check(self):
         """Flag a crashed render (dispatch.java:611-615 analogue)."""
+        import jax
         import jax.numpy as jnp
 
         s = self.renderer._sum
-        if not bool(jnp.isfinite(s).all()):
+        # one host fetch for both stats (each fetch is a ~39 ms round trip)
+        finite, peak = jax.device_get(
+            (jnp.isfinite(s).all(), jnp.max(jnp.abs(s))))
+        if not bool(finite):
             self.anomaly = "non-finite accumulation"
             self.log(f"watchdog: {self.anomaly} after "
                      f"{self.frames_still} frames — aborting")
             self.closed = True
-        elif float(jnp.max(jnp.abs(s))) == 0.0:
-            self.anomaly = "all-black accumulation"
-            self.log(f"watchdog: {self.anomaly} after "
-                     f"{self.frames_still} frames")
+        elif float(peak) == 0.0:
+            # latched: a legitimately dark view (black constant sky) would
+            # otherwise re-log every cadence tick forever
+            if self.anomaly != "all-black accumulation":
+                self.anomaly = "all-black accumulation"
+                self.log(f"watchdog: {self.anomaly} after "
+                         f"{self.frames_still} frames")
+        elif self.anomaly == "all-black accumulation":
+            self.anomaly = None  # view recovered (camera moved to content)
 
     def display_image(self):
         return (self.preview_renderer if self._was_moving

@@ -86,6 +86,11 @@ def shade_point(origins, directions, state, scene, info, params,
             nd, nd + jnp.asarray([0.1, 31.0, 1.0], jnp.float32)))
         vvec = vm.normalize(jnp.cross(nd, uvec))
 
+        # NOTE: EmissionStrength (lm.Density) scales intensity ONLY in the
+        # grid branch below — the reference's own SAMPLE_RES==1 branch
+        # (raytrace.glsl:708) and SAMPLE_RES<=0 branch (:729) return raw
+        # 0/1 intensity, so brightness depends on the shadow-quality knob
+        # THERE TOO. Quirk preserved deliberately for parity.
         shadow_o = surf.loc + 1e-4 * n
         if sample_res <= 0:
             intensity = jnp.ones(origins.shape[0])
