@@ -7,26 +7,20 @@ This builder is fully vectorized NumPy:
 
   1. Morton-sort triangle centroids (30-bit codes, 10 bits/axis) so nearby
      triangles are contiguous in memory;
-  2. pack the sorted order into (8, 128) TILES of GROUP_TRIS x
-     GROUPS_PER_TILE = 112 triangles: triangle (g, s) of a tile sits at
-     sublane s, lanes [9g, 9g+9) — eight DIFFERENT Morton-consecutive
-     triangles share the sublane axis, so the kernel tests 8 triangles
-     against a 128-ray sub-block in ONE (8, 128) vector op instead of one
-     triangle against the whole block (kernels/wavefront._streamed_kernel:
-     the sub-block divergence that lifts incoherent-bounce throughput);
-  3. build ONE implicit complete binary tree over the (pow2-padded)
-     TREELETS (16 tiles = 1792 triangles each): node i's children are
-     2i+1/2i+2, AABBs computed bottom-up with pure array reshapes, so a
-     1M-triangle build takes seconds, not hours.
+  2. pack the sorted order densely into 128-lane leaf rows (up to 14
+     triangles of 9 floats each, the Mosaic packet-kernel layout —
+     kernels/wavefront.py);
+  3. build ONE implicit complete binary tree over the (pow2-padded) leaf
+     rows: node i's children are 2i+1 and 2i+2, leaves are rows — AABBs
+     are computed bottom-up one level at a time (pure array reshapes), so
+     a 1M-triangle build takes seconds, not hours.
 
-Per treelet the builder also emits 32 GATE-UNIT AABBs (one per half-tile =
-56 Morton-consecutive triangles): the kernel slab-tests all 32 against
-every ray and packs the verdicts into one i32 want-word per 128-ray
-sub-block, so triangle work is skipped at (56-tri x 128-ray) granularity.
-
-Empty gate units carry inverted AABBs (min=+inf) that never pass a slab
-test, and empty triangle slots carry zeroed edges whose Moller-Trumbore
-determinant is 0, so padding self-masks.
+The tree splits at a "cut" level into a VMEM-resident top (a few thousand
+8-float AABB rows) and HBM-resident *treelets*: TREELET_ROWS consecutive
+leaf rows each, DMA-streamed by kernels/wavefront.trace_streamed. Empty
+rows carry inverted AABBs (min=+inf) that never pass a slab test, and
+empty triangle slots carry zeroed edges whose Moller-Trumbore determinant
+is 0, so padding self-masks.
 
 Build quality note: Morton order + complete-tree topology is the classic
 LBVH (Lauterbach et al.) — typically 10-30% more node visits than a SAH
@@ -38,39 +32,39 @@ from typing import NamedTuple
 
 import numpy as np
 
-GROUP_TRIS = 8          # triangles per group: one per sublane
-GROUPS_PER_TILE = 14    # lane-offset groups per tile: 14 * 9 = 126 lanes
-TILE_TRIS = GROUP_TRIS * GROUPS_PER_TILE     # 112
-TILES_PER_TREELET = 16
-TREELET_TRIS = TILE_TRIS * TILES_PER_TREELET  # 1792
-UNIT_GROUPS = 7         # gate unit = half a tile (7 groups = 56 tris)
-UNIT_TRIS = UNIT_GROUPS * GROUP_TRIS          # 56
-UNITS_PER_TREELET = TILES_PER_TREELET * 2     # 32 = one i32 of gate bits
-TREELET_ROWS = TILES_PER_TREELET * 8          # 128 sublane rows per DMA:
-                                              # 128 * 128 * 4 B = 64 KB
+TRIS_PER_ROW = 14      # 14 * 9 floats = 126 of 128 lanes
+TREELET_ROWS = 128     # rows per HBM treelet: 128 * 128 * 4 B = 64 KB DMA
+SUB_GROUP_ROWS = 4     # triangle rows per subtree leaf: each internal
+                       # subtree node costs one serializing vector->scalar
+                       # sync in the kernel, so leaves cover GROUPS of rows
+                       # (4 rows = 15 internal nodes/treelet instead of 31;
+                       # the extra row tests are cheap VPU work)
 
 
 class StreamedForest(NamedTuple):
     """Complete-tree forest for the streamed packet kernel."""
 
-    ctree_f: np.ndarray      # (2*n_treelets - 1, 8) f32 complete-tree AABBs
-                             #   over treelets, heap order (VMEM-resident)
-    tri_rows: np.ndarray     # (n_treelets * TILES_PER_TREELET, 8, 128) f32
-                             #   triangle TILES: tile k, triangle (g, s) at
-                             #   [k, s, 9g:9g+9) as v1/e1/e2
-    sub_f: np.ndarray        # (n_treelets * UNITS_PER_TREELET, 128) f32
-                             #   gate-unit AABBs: unit u of treelet T at row
-                             #   T*32 + u, min xyz at lanes 0-2, max at 3-5;
-                             #   unit u covers tile u//2, groups
-                             #   [(u%2)*7, (u%2)*7+7)
-    row_perm: np.ndarray     # (n_treelets * TREELET_TRIS,) i32 slot ->
-                             #   original triangle id (-1 for padding);
-                             #   slot = tile*112 + g*8 + s = Morton rank
-    n_rows: int              # real (unpadded) tile count
-    n_treelets: int          # pow2
+    ctree_f: np.ndarray      # (M, 8) f32 complete-tree AABBs (top part only
+                             #   is kept VMEM-resident; M = 2*n_treelets - 1)
+    tri_rows: np.ndarray     # (R_pad, 128) f32 leaf-packed triangles
+    sub_f: np.ndarray        # (n_treelets * sub_stride, 128) f32: per-
+                             #   treelet complete SUBTREE AABBs, one node
+                             #   per 128-lane row (min xyz at lanes 0-2,
+                             #   max xyz at 3-5; Mosaic DMA slices must be
+                             #   128-aligned in the minor dim). The subtree
+                             #   has TREELET_ROWS/SUB_GROUP_ROWS leaves,
+                             #   each covering a GROUP of SUB_GROUP_ROWS
+                             #   triangle rows: heap node k >= n_groups-1
+                             #   maps to rows [g*SUB_GROUP_ROWS,
+                             #   (g+1)*SUB_GROUP_ROWS), g = k-(n_groups-1).
+                             #   sub_stride = 2*n_groups rows (padded).
+    row_perm: np.ndarray     # (R_pad * TRIS_PER_ROW,) i32 slot -> original
+                             #   triangle id (-1 for padding)
+    n_rows: int              # real (unpadded) leaf-row count
+    n_treelets: int          # R_pad / TREELET_ROWS
     cut_nodes: int           # nodes in the VMEM-resident top tree
                              #   (= 2 * n_treelets - 1)
-    leaf_depth: int          # levels below the root down to single treelets
+    leaf_depth: int          # levels below the root down to single rows
 
 
 def morton_codes(centroids: np.ndarray, bits: int = 10) -> np.ndarray:
@@ -96,8 +90,9 @@ def morton_codes(centroids: np.ndarray, bits: int = 10) -> np.ndarray:
         spread(q[:, 1]) << np.uint64(1)) | spread(q[:, 2])
 
 
-def build_streamed(v1: np.ndarray, v2: np.ndarray,
-                   v3: np.ndarray) -> StreamedForest:
+def build_streamed(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
+                   tris_per_row: int = TRIS_PER_ROW,
+                   treelet_rows: int = TREELET_ROWS) -> StreamedForest:
     """Build the streamed forest for T triangles (float32/64 (T, 3) each)."""
     t = v1.shape[0]
     # gather each vertex array ONCE in sorted order, in f32 (ADVICE r3 /
@@ -105,8 +100,8 @@ def build_streamed(v1: np.ndarray, v2: np.ndarray,
     # this section gathered f64 twice, np.stack'ed a (T, 3, 3) f64
     # intermediate, scattered via 9 fancy-index assignments, and reduced
     # row AABBs with np.minimum.at — ~1 us/element ufunc.at dispatch. The
-    # tile layout is perfectly regular (112 consecutive sorted triangles
-    # per tile), so every one of those is a pad+reshape instead: 4M-tri
+    # row layout is perfectly regular (14 consecutive sorted triangles per
+    # row), so every one of those is a pad+reshape instead: 4M-tri
     # build 30.5 s -> ~6 s, now ~linear in T)
     centroids = (v1 + v2 + v3) / 3.0
     order = np.argsort(morton_codes(centroids),
@@ -115,31 +110,26 @@ def build_streamed(v1: np.ndarray, v2: np.ndarray,
     sb = v2[order].astype(np.float32)
     sc_ = v3[order].astype(np.float32)
 
-    n_tiles = -(-t // TILE_TRIS)
-    # pad tiles to a full multiple of TILES_PER_TREELET, then to a power of
-    # two of treelets so the complete tree is well-formed
-    n_treelets = max(-(-n_tiles // TILES_PER_TREELET), 1)
+    n_rows = -(-t // tris_per_row)
+    # pad rows to a full multiple of treelet_rows, then to a power of two
+    # of treelets so the complete tree is well-formed
+    n_treelets = max(-(-n_rows // treelet_rows), 1)
     n_treelets = 1 << int(np.ceil(np.log2(n_treelets)))
-    tiles_pad = n_treelets * TILES_PER_TREELET
-    t_pad = tiles_pad * TILE_TRIS
+    r_pad = n_treelets * treelet_rows
 
-    # --- dense tile packing (pad + reshape, no scatters) -------------------
+    # --- dense leaf-row packing (pad + reshape, no scatters) --------------
+    t_pad = n_rows * tris_per_row
     packed = np.zeros((t_pad, 9), np.float32)             # (T_pad, 9)
     packed[:t, 0:3] = sa
     packed[:t, 3:6] = sb - sa
     packed[:t, 6:9] = sc_ - sa
-    # Morton rank r within a tile maps to (group g = r // 8, sublane
-    # s = r % 8): transpose groups under sublanes so triangle (g, s) lands
-    # at [tile, s, 9g:9g+9)
-    blk = packed.reshape(tiles_pad, GROUPS_PER_TILE, GROUP_TRIS, 9)
-    blk = blk.transpose(0, 2, 1, 3).reshape(
-        tiles_pad, GROUP_TRIS, 9 * GROUPS_PER_TILE)
-    tri_rows = np.zeros((tiles_pad, GROUP_TRIS, 128), np.float32)
-    tri_rows[:, :, : 9 * GROUPS_PER_TILE] = blk
-    row_perm = np.full(t_pad, -1, np.int32)
+    tri_rows = np.zeros((r_pad, 128), np.float32)
+    tri_rows[:n_rows, : 9 * tris_per_row] = packed.reshape(
+        n_rows, 9 * tris_per_row)
+    row_perm = np.full(r_pad * tris_per_row, -1, np.int32)
     row_perm[:t] = order.astype(np.int32)
 
-    # --- gate-unit AABBs (padded reshape reduction) -------------------------
+    # --- per-row AABBs (padded reshape reduction) --------------------------
     INF = np.float32(np.inf)
     tmin = np.minimum(np.minimum(sa, sb), sc_)
     tmax = np.maximum(np.maximum(sa, sb), sc_)
@@ -147,25 +137,24 @@ def build_streamed(v1: np.ndarray, v2: np.ndarray,
     pmax = np.full((t_pad, 3), -INF, np.float32)
     pmin[:t] = tmin
     pmax[:t] = tmax
-    # a gate unit is UNIT_TRIS consecutive Morton triangles (half a tile)
-    umin = pmin.reshape(n_treelets, UNITS_PER_TREELET, UNIT_TRIS, 3).min(
-        axis=2)
-    umax = pmax.reshape(n_treelets, UNITS_PER_TREELET, UNIT_TRIS, 3).max(
-        axis=2)
-    sub_f = np.zeros((n_treelets * UNITS_PER_TREELET, 128), np.float32)
-    sub_f[:, 0:3] = umin.reshape(-1, 3)
-    sub_f[:, 3:6] = umax.reshape(-1, 3)
+    row_min = np.full((r_pad, 3), INF, np.float32)
+    row_max = np.full((r_pad, 3), -INF, np.float32)
+    row_min[:n_rows] = pmin.reshape(n_rows, tris_per_row, 3).min(axis=1)
+    row_max[:n_rows] = pmax.reshape(n_rows, tris_per_row, 3).max(axis=1)
 
-    # --- complete tree over treelets, bottom-up -----------------------------
-    tr_min = umin.min(axis=1)                              # (n_treelets, 3)
-    tr_max = umax.max(axis=1)
-    n_nodes = 2 * n_treelets - 1
+    # --- complete tree, bottom-up ------------------------------------------
+    leaf_depth = int(np.log2(r_pad))
+    # level arrays from leaves up; level k has r_pad >> (leaf_depth - k)
+    # nodes. Store all levels concatenated in heap order: node i children
+    # 2i+1, 2i+2; level k occupies [2^k - 1, 2^(k+1) - 1).
+    n_nodes = 2 * r_pad - 1
     ctree_min = np.full((n_nodes, 3), INF, np.float32)
     ctree_max = np.full((n_nodes, 3), -INF, np.float32)
-    ctree_min[n_treelets - 1:] = tr_min
-    ctree_max[n_treelets - 1:] = tr_max
-    lo = n_treelets - 1
-    size = n_treelets
+    # leaves at heap positions [r_pad - 1, 2*r_pad - 1)
+    ctree_min[r_pad - 1:] = row_min
+    ctree_max[r_pad - 1:] = row_max
+    lo = r_pad - 1
+    size = r_pad
     while size > 1:
         child_min = ctree_min[lo:lo + size].reshape(size // 2, 2, 3)
         child_max = ctree_max[lo:lo + size].reshape(size // 2, 2, 3)
@@ -174,17 +163,46 @@ def build_streamed(v1: np.ndarray, v2: np.ndarray,
         ctree_max[plo:plo + size // 2] = child_max.max(axis=1)
         lo = plo
         size //= 2
-    ctree_f = np.zeros((n_nodes, 8), np.float32)
-    ctree_f[:, 0:3] = ctree_min
-    ctree_f[:, 3:6] = ctree_max
+
+    # VMEM-resident top tree: down to treelet granularity.
+    cut_nodes = 2 * n_treelets - 1
+    ctree_f = np.zeros((cut_nodes, 8), np.float32)
+    ctree_f[:, 0:3] = ctree_min[:cut_nodes]
+    ctree_f[:, 3:6] = ctree_max[:cut_nodes]
+
+    # Per-treelet subtree AABBs (HBM, DMA'd with the rows): a complete
+    # subtree over GROUPS of triangle rows, rebuilt bottom-up from the row
+    # AABBs (vectorized across all treelets at once). One heap node per
+    # 128-lane row for DMA alignment.
+    n_groups = treelet_rows // SUB_GROUP_ROWS
+    sub_stride = 2 * n_groups
+    sub_min = np.full((n_treelets, sub_stride, 3), INF, np.float32)
+    sub_max = np.full((n_treelets, sub_stride, 3), -INF, np.float32)
+    pm = row_min.reshape(n_treelets, n_groups, SUB_GROUP_ROWS, 3).min(axis=2)
+    px = row_max.reshape(n_treelets, n_groups, SUB_GROUP_ROWS, 3).max(axis=2)
+    sub_min[:, n_groups - 1: 2 * n_groups - 1] = pm
+    sub_max[:, n_groups - 1: 2 * n_groups - 1] = px
+    lo = n_groups - 1
+    size = n_groups
+    while size > 1:
+        cmin = sub_min[:, lo:lo + size].reshape(n_treelets, size // 2, 2, 3)
+        cmax = sub_max[:, lo:lo + size].reshape(n_treelets, size // 2, 2, 3)
+        plo = lo // 2
+        sub_min[:, plo:plo + size // 2] = cmin.min(axis=2)
+        sub_max[:, plo:plo + size // 2] = cmax.max(axis=2)
+        lo = plo
+        size //= 2
+    sub_f = np.zeros((n_treelets * sub_stride, 128), np.float32)
+    sub_f[:, 0:3] = sub_min.reshape(-1, 3)
+    sub_f[:, 3:6] = sub_max.reshape(-1, 3)
 
     return StreamedForest(
         ctree_f=ctree_f,
         sub_f=sub_f,
         tri_rows=tri_rows,
         row_perm=row_perm,
-        n_rows=n_tiles,
+        n_rows=n_rows,
         n_treelets=n_treelets,
-        cut_nodes=n_nodes,
-        leaf_depth=int(np.log2(n_treelets)) if n_treelets > 1 else 0,
+        cut_nodes=cut_nodes,
+        leaf_depth=leaf_depth,
     )

@@ -510,6 +510,8 @@ def _ray_scene_streamed(origins, directions, scene, info, active,
     t, uu, vv, idx, _, _ = wavefront.trace_streamed(
         o3, d3, t_init, scene.st_top, scene.st_tris, scene.st_sub,
         n_treelets=info.st_n_treelets,
+        treelet_rows=info.st_treelet_rows,
+        leaf_cap=info.st_leaf_cap,
         block_rows=block_rows, interpret=interpret,
     )
     t, uu, vv, idx = t[:B], uu[:B], vv[:B], idx[:B]
@@ -543,10 +545,6 @@ def heat_counts(origins, directions, scene, info, pallas: str = "auto",
 
     interpret = (pallas == "interpret"
                  or jax.default_backend() == "cpu")
-    if info.streamed:
-        # the streamed kernel unrolls its per-sub-block loops block_rows
-        # times — production blocks are 8 rows
-        block_rows = min(block_rows, 8)
     o = origins + jnp.float32(1e-4) * directions
     B = o.shape[0]
     rb = wavefront.LANES * block_rows
@@ -566,6 +564,8 @@ def heat_counts(origins, directions, scene, info, pallas: str = "auto",
         _, _, _, _, bt, lf = wavefront.trace_streamed(
             o3, d3, t_init, scene.st_top, scene.st_tris, scene.st_sub,
             n_treelets=info.st_n_treelets,
+            treelet_rows=info.st_treelet_rows,
+            leaf_cap=info.st_leaf_cap,
             block_rows=block_rows, interpret=interpret,
         )
     else:

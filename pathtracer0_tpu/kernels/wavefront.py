@@ -50,11 +50,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..accel.lbvh import (GROUP_TRIS, GROUPS_PER_TILE, TILE_TRIS,
-                          TILES_PER_TREELET, TREELET_TRIS, UNIT_GROUPS,
-                          UNITS_PER_TREELET)
-
 LANES = 128
+SUB_GROUP_ROWS = 4  # rows per subtree leaf — must match accel/lbvh.py
 MISS = np.float32(1e30)
 EPSILON = np.float32(1e-10)
 STACK_DEPTH = 160
@@ -152,95 +149,80 @@ def _brute_kernel(
 
 
 def _streamed_kernel(
-    top_ref,        # (2*n_treelets - 1, 8) f32 VMEM: treelet-tree AABBs
-                    #   in heap order (children of node i are 2i+1/2i+2)
-    tris_hbm_ref,   # (n_treelets * 16, 8, 128) f32 HBM: triangle TILES —
-                    #   tile k, triangle (g, s) at [k, s, 9g:9g+9)
-                    #   (accel/lbvh.py layout)
-    gate_hbm_ref,   # (n_treelets * 32, 128) f32 HBM: gate-unit AABBs, one
-                    #   per half-tile (56 Morton-consecutive triangles)
+    top_ref,        # (M_top, 8) f32 VMEM: complete-tree AABBs (heap order)
+    tris_hbm_ref,   # (R_pad, 128) f32 in HBM/ANY: leaf-packed triangles
+    sub_hbm_ref,    # (n_treelets * sub_stride, 128) f32 HBM: per-treelet
+                    #   subtree AABBs, one node/row in heap order, where
+                    #   sub_stride = 2 * (treelet_rows // SUB_GROUP_ROWS)
+                    #   (accel/lbvh.py)
     o_ref,          # (3, RS, 128) f32
     d_ref,          # (3, RS, 128) f32
     tin_ref,        # (RS, 128) f32
     t_ref,          # out (RS, 128) f32
     u_ref,          # out
     v_ref,          # out
-    idx_ref,        # out i32: global triangle SLOT (tile*112 + g*8 + s)
-    bt_ref,         # out (1, 1) i32 SMEM: AABB tests (top + gate units)
-    lf_ref,         # out (1, 1) i32 SMEM: triangle-group tests
+    idx_ref,        # out i32: global_row * leaf_cap + slot
+    bt_ref,         # out (1, 1) i32 SMEM: AABB tests (top + subtree)
+    lf_ref,         # out (1, 1) i32 SMEM: triangle-row visits
     stack_ref,      # SMEM (STACK_DEPTH,) i32: top-tree stack
-    scratch_ref,    # VMEM (2, 16, 8, 128) f32 tile DMA landing buffers
-    gate_scratch_ref,  # VMEM (2, 32, 128) f32 gate-unit landing buffers
-    st_t_ref,       # VMEM (RS*8, 128) f32 per-SLOT best-t numerator
-    st_td_ref,      # VMEM (RS*8, 128) f32 per-SLOT best-t denominator
-    st_u_ref,       # VMEM (RS*8, 128) f32
-    st_v_ref,       # VMEM (RS*8, 128) f32
-    st_idx_ref,     # VMEM (RS*8, 128) i32
-    tmin_ref,       # VMEM (RS, 128) f32 per-RAY best real t (refreshed
-                    #   once per retired treelet)
-    word_ref,       # VMEM (RS, 128) i32 gate-word staging (vector store ->
-                    #   scalar loads: one sync-equivalent carries RS words)
-    sem_ref,        # DMA semaphores (2, 2): [slot, tiles/gates]
+    scratch_ref,    # VMEM (2, treelet_rows, 128) f32 DMA landing buffers
+    sub_scratch_ref,  # VMEM (2, treelet_rows, 128) f32 subtree landing
+    td_ref,         # VMEM (RS, 128) f32: closest-t DENOMINATOR scratch
+    sem_ref,        # DMA semaphores (2, 2): [slot, rows/subtree]
     *,
     n_treelets: int,
-    block_rows: int,
+    treelet_rows: int,
+    leaf_cap: int,
 ):
-    """HBM-streamed traversal with SUB-BLOCK divergence.
+    """HBM-streamed two-level traversal with SCALAR frustum gating.
 
-    Round-3 shape (one triangle broadcast against the whole 1024-ray
-    block) was vector-work bound on incoherent bounces for a structural
-    reason: a block shares ONE traversal, so it visits the UNION of its
-    rays' node sets, and every row test pays all 1024 lanes while only
-    ~1/block of them need that row — measured ~34 useful triangle tests
-    per ray but ~34,000 executed. This kernel keeps the single scalar
-    stack walk, frustum gating, and double-buffered treelet DMA, and adds
-    two forms of divergence UNDER them:
+    Round-2 profiling (PERF.md) showed this kernel sync-bound: every
+    internal-node visit issued one vector->scalar reduction (~1-2 us) to
+    decide the walk, serializing the whole loop — 0.18 Mrays/s at 1M tris.
+    This version makes every traversal DECISION pure scalar-unit work:
 
-      * SUB-BLOCK GATING: rays are RS sublane rows of 128 lanes; each
-        128-ray sub-block gets its own 32-bit want-word per treelet (one
-        bit per gate unit = 56 Morton-consecutive triangles). All 32 unit
-        AABBs are slab-tested against every ray (vector), the verdicts
-        pack into one i32 per sub-block via a lane-OR tree, and ONE
-        (RS, 128) vector store + RS scalar loads hand the words to the
-        scalar core — the same latency as the single jnp.max sync the
-        round-3 kernel paid, but carrying RS gate words (measured
-        equivalent, ~2 us, /tmp experiment r4). Triangle work then runs
-        only for (unit, sub-block) pairs whose bit is set.
+      * ONCE per block, 12 masked vector reductions capture the block's
+        ray bounds (origin box + per-axis direction range + sign purity)
+        — the only vector->scalar syncs in the whole walk, plus one
+        optional closest-t refresh per retired treelet;
+      * every node test is a conservative INTERVAL slab test of the node
+        AABB against those scalar bounds (~30 scalar ops, no vector work
+        at all): axes where the block's directions share a sign give real
+        frustum culling; mixed-sign axes contribute no constraint.
+        Dead-padded blocks produce an empty frustum and visit nothing.
+      * rays sorted by origin-Morton + direction octant (traverse.py
+        enables sort_rays for streamed scenes) keep blocks sign-pure, so
+        the conservative test stays tight in practice;
+      * the VPU only ever runs Moller-Trumbore row tests for row GROUPS
+        whose AABB passes the scalar gate — per-ray closest-t pruning
+        happens inside the row test as before.
 
-      * SUBLANE-PARALLEL TRIANGLES: a gated group test loads 8 DIFFERENT
-        triangles across sublanes (tile column [*, s, 9g:9g+9)) and tests
-        them against the sub-block's 128 rays broadcast across sublanes —
-        every (8, 128) vector op performs 8x128 distinct (ray, triangle)
-        pair tests at 100% lane utilization, where round 3 ran 1 triangle
-        x 1024 rays with ~0.1% of lanes useful on incoherent blocks.
-
-    Per-ray closest-t state is kept PER SLOT (sublane) as division-free
-    ratios; slots fold (min over sublanes + winner select) once per
-    retired treelet for gating feedback and once at the end for outputs.
+    The top of one implicit complete binary tree (children of heap node i
+    are 2i+1/2i+2 — no child-pointer loads at all) lives in VMEM down to
+    treelet granularity; a treelet is `treelet_rows` consecutive packed
+    triangle rows in HBM plus its own group AABBs, DMA'd into
+    double-buffered VMEM scratch when popped — the previous treelet is
+    retired while the copies are in flight.
     """
-    RS = block_rows
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
 
+    # closest-t carried as a RATIO t_ref / td_ref (division-free
+    # Moller-Trumbore, as in kernels/fused.py): one divide per treelet
+    # retire (for gating) + one at the end recover real distances
+    t_ref[...] = tin_ref[...]
+    td_ref[...] = jnp.ones_like(td_ref)
+    u_ref[...] = jnp.zeros_like(u_ref)
+    v_ref[...] = jnp.zeros_like(v_ref)
+    idx_ref[...] = jnp.full_like(idx_ref, -1)
     gi = pl.program_id(0)
     bt_ref[gi, 0] = 0
     lf_ref[gi, 0] = 0
+
     stack_ref[0] = 0
 
-    iota8 = jax.lax.broadcasted_iota(jnp.int32, (GROUP_TRIS, LANES), 0)
-
-    # per-slot state: every slot starts at the ray's initial bound
-    for s in range(RS):
-        st_t_ref[8 * s:8 * s + 8, :] = jnp.broadcast_to(
-            tin_ref[s:s + 1, :], (8, LANES))
-    st_td_ref[...] = jnp.ones_like(st_td_ref)
-    st_u_ref[...] = jnp.zeros_like(st_u_ref)
-    st_v_ref[...] = jnp.zeros_like(st_v_ref)
-    st_idx_ref[...] = jnp.full_like(st_idx_ref, -1)
-    tmin_ref[...] = tin_ref[...]
-
     # ---- per-ray root-slab ceiling + block ray bounds --------------------
-    # (unchanged from round 3: the top walk is still one shared frustum)
+    # (the only vector->scalar syncs in the walk)
     livev = tin_ref[...] > 0.0
     BIG = jnp.float32(3e38)
 
@@ -273,7 +255,7 @@ def _streamed_kernel(
                              jnp.float32(0.0))
 
     def block_tmax():
-        return jnp.max(jnp.minimum(tmin_ref[...], gate_ceiling))
+        return jnp.max(jnp.minimum(t_ref[...] / td_ref[...], gate_ceiling))
 
     def _mn(v):
         return jnp.min(jnp.where(root_ok, v, BIG))
@@ -337,148 +319,146 @@ def _streamed_kernel(
             top_ref[node, 0], top_ref[node, 1], top_ref[node, 2],
             top_ref[node, 3], top_ref[node, 4], top_ref[node, 5], tmax)
 
+    n_groups = treelet_rows // SUB_GROUP_ROWS
+    sub_stride = 2 * n_groups
+
     def start_dmas(t_id, slot):
-        tiles = pltpu.make_async_copy(
-            tris_hbm_ref.at[
-                pl.ds(t_id * TILES_PER_TREELET, TILES_PER_TREELET)],
+        row0 = t_id * treelet_rows
+        rows = pltpu.make_async_copy(
+            tris_hbm_ref.at[pl.ds(row0, treelet_rows), :],
             scratch_ref.at[slot],
             sem_ref.at[slot, 0],
         )
-        gates = pltpu.make_async_copy(
-            gate_hbm_ref.at[
-                pl.ds(t_id * UNITS_PER_TREELET, UNITS_PER_TREELET), :],
-            gate_scratch_ref.at[slot],
+        sub = pltpu.make_async_copy(
+            sub_hbm_ref.at[pl.ds(t_id * sub_stride, sub_stride), :],
+            sub_scratch_ref.at[slot],
             sem_ref.at[slot, 1],
         )
-        return tiles, gates
+        return rows, sub
 
-    def test_group(t_id, slot, tt, g, s, rays):
-        """8 division-free Moller-Trumbore tests: the 8 triangles of tile
-        tt / group g across SUBLANES vs sub-block s's 128 rays across
-        LANES. Candidates carried as ratios per slot (numerators in
-        st_t/u/v, the shared positive denominator |det| in st_td),
-        comparisons cross-multiplied — no per-triangle divide."""
-        oxs, oys, ozs, dxs, dys, dzs = rays
-        tile = scratch_ref[slot, tt]                    # (8, 128) value
-        def col(k):
-            return jnp.broadcast_to(
-                jax.lax.slice(tile, (0, 9 * g + k), (GROUP_TRIS, 9 * g + k + 1)),
-                (GROUP_TRIS, LANES))
-        v1x, v1y, v1z = col(0), col(1), col(2)
-        e1x, e1y, e1z = col(3), col(4), col(5)
-        e2x, e2y, e2z = col(6), col(7), col(8)
-        px = dys * e2z - dzs * e2y
-        py = dzs * e2x - dxs * e2z
-        pz = dxs * e2y - dys * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        sx = oxs - v1x
-        sy = oys - v1y
-        sz = ozs - v1z
-        ur = sx * px + sy * py + sz * pz
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        vr = dxs * qx + dys * qy + dzs * qz
-        tr = e2x * qx + e2y * qy + e2z * qz
-        sg = jnp.where(det >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
-        adet = det * sg
-        uc = ur * sg
-        vc = vr * sg
-        tc = tr * sg
-        r0 = 8 * s
-        t_st = st_t_ref[r0:r0 + 8, :]
-        td_st = st_td_ref[r0:r0 + 8, :]
-        ok = (
-            (adet >= EPSILON)
-            & (uc >= 0.0)
-            & (vc >= 0.0)
-            & (uc + vc <= adet)
-            & (tc > EPSILON * adet)
-            & (tc * td_st < t_st * adet)
-        )
-        base = (t_id * TREELET_TRIS + tt * TILE_TRIS + g * GROUP_TRIS)
-        st_t_ref[r0:r0 + 8, :] = jnp.where(ok, tc, t_st)
-        st_td_ref[r0:r0 + 8, :] = jnp.where(ok, adet, td_st)
-        st_u_ref[r0:r0 + 8, :] = jnp.where(ok, uc, st_u_ref[r0:r0 + 8, :])
-        st_v_ref[r0:r0 + 8, :] = jnp.where(ok, vc, st_v_ref[r0:r0 + 8, :])
-        st_idx_ref[r0:r0 + 8, :] = jnp.where(
-            ok, base + iota8, st_idx_ref[r0:r0 + 8, :])
+    def sub_entry_vec(slot, node):
+        """Per-ray slab entry distance of one group AABB (vector)."""
+        tx1 = (sub_scratch_ref[slot, node, 0] - ox) * inv_dx
+        tx2 = (sub_scratch_ref[slot, node, 3] - ox) * inv_dx
+        ty1 = (sub_scratch_ref[slot, node, 1] - oy) * inv_dy
+        ty2 = (sub_scratch_ref[slot, node, 4] - oy) * inv_dy
+        tz1 = (sub_scratch_ref[slot, node, 2] - oz) * inv_dz
+        tz2 = (sub_scratch_ref[slot, node, 5] - oz) * inv_dz
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+            jnp.minimum(tz1, tz2))
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+            jnp.maximum(tz1, tz2))
+        hit = (t_far >= t_near) & (t_far > 0.0)
+        return jnp.where(hit, jnp.maximum(t_near, 0.0), MISS)
 
-    def retire_treelet(t_id, slot):
-        """Retire one DMA'd treelet: gate words per sub-block, then gated
-        sublane-parallel group tests, then the per-ray best-t refresh that
-        feeds the frustum/gate pruning."""
-        t_gate = jnp.minimum(tmin_ref[...], gate_ceiling)   # (RS, 128)
-        bt_ref[gi, 0] = bt_ref[gi, 0] + UNITS_PER_TREELET
+    def test_row(t_id, slot, row):
+        """14 division-free Moller-Trumbore tests of one DMA'd row vs the
+        block: candidates carried as ratios (numerators in t/u/v_ref, the
+        shared positive denominator |det| in td_ref), comparisons
+        cross-multiplied — no per-triangle divide (kernels/fused.py
+        measured ~10% of the row-test cost)."""
+        row0 = t_id * treelet_rows
+        for j in range(leaf_cap):
+            base = 9 * j
+            v1x = scratch_ref[slot, row, base + 0]
+            v1y = scratch_ref[slot, row, base + 1]
+            v1z = scratch_ref[slot, row, base + 2]
+            e1x = scratch_ref[slot, row, base + 3]
+            e1y = scratch_ref[slot, row, base + 4]
+            e1z = scratch_ref[slot, row, base + 5]
+            e2x = scratch_ref[slot, row, base + 6]
+            e2y = scratch_ref[slot, row, base + 7]
+            e2z = scratch_ref[slot, row, base + 8]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            sx = ox - v1x
+            sy = oy - v1y
+            sz = oz - v1z
+            ur = sx * px + sy * py + sz * pz
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vr = dx * qx + dy * qy + dz * qz
+            tr = e2x * qx + e2y * qy + e2z * qz
+            sg = jnp.where(det >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
+            adet = det * sg
+            uc = ur * sg
+            vc = vr * sg
+            tc = tr * sg
+            ok = (
+                (adet >= EPSILON)
+                & (uc >= 0.0)
+                & (vc >= 0.0)
+                & (uc + vc <= adet)
+                & (tc > EPSILON * adet)
+                & (tc * td_ref[...] < t_ref[...] * adet)
+            )
+            t_ref[...] = jnp.where(ok, tc, t_ref[...])
+            td_ref[...] = jnp.where(ok, adet, td_ref[...])
+            u_ref[...] = jnp.where(ok, uc, u_ref[...])
+            v_ref[...] = jnp.where(ok, vc, v_ref[...])
+            idx_ref[...] = jnp.where(
+                ok, (row0 + row) * leaf_cap + j, idx_ref[...]
+            )
 
-        def unit_mask(u, w):
-            lo_x = gate_scratch_ref[slot, u, 0]
-            lo_y = gate_scratch_ref[slot, u, 1]
-            lo_z = gate_scratch_ref[slot, u, 2]
-            hi_x = gate_scratch_ref[slot, u, 3]
-            hi_y = gate_scratch_ref[slot, u, 4]
-            hi_z = gate_scratch_ref[slot, u, 5]
-            tx1 = (lo_x - ox) * inv_dx
-            tx2 = (hi_x - ox) * inv_dx
-            ty1 = (lo_y - oy) * inv_dy
-            ty2 = (hi_y - oy) * inv_dy
-            tz1 = (lo_z - oz) * inv_dz
-            tz2 = (hi_z - oz) * inv_dz
-            t_near = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
-                jnp.minimum(tz1, tz2))
-            t_far = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
-                jnp.maximum(tz1, tz2))
-            want = (t_far >= t_near) & (t_far > 0.0) & (t_near < t_gate)
-            return w | (want.astype(jnp.int32) << u)
+    def test_treelet(t_id, slot):
+        """Retire one DMA'd treelet with PER-RAY group gating at the cost
+        of ONE vector->scalar sync: every group AABB is slab-tested against
+        every ray's current closest-t (clamped by its root-slab ceiling),
+        the 16 per-ray want-bits pack into one i32 lane mask, and an
+        OR-tree (sublane halving + lane rotates) collapses them so a single
+        scalar read yields the group bitmask — per-ray closest-t pruning
+        without the per-node reduction syncs that serialized round 2."""
+        t_cur = jnp.minimum(t_ref[...] / td_ref[...], gate_ceiling)
+        bt_ref[gi, 0] = bt_ref[gi, 0] + n_groups
+        n_words = -(-n_groups // 32)
+        # gbody's word select below handles exactly 1 or 2 mask words;
+        # raising TREELET_ROWS/SUB_GROUP_ROWS past 64 groups needs a
+        # general select or groups get gated by the wrong bit
+        assert n_words <= 2, (n_groups, "extend the word select in gbody")
+        words = []
+        for w in range(n_words):
+            # uint32 want-bit mask for groups [32w, 32w+32)
+            bits_v = jnp.zeros(t_cur.shape, jnp.uint32)
+            for g in range(32 * w, min(32 * (w + 1), n_groups)):
+                enter = sub_entry_vec(slot, n_groups - 1 + g)
+                bits_v = bits_v | (
+                    (enter < t_cur).astype(jnp.uint32)
+                    << jnp.uint32(g - 32 * w))
+            b = bits_v
+            rs = b.shape[0]
+            while rs > 1:
+                h = rs // 2
+                b = b[:h] | b[h:rs]
+                rs = h
+            for sh in (1, 2, 4, 8, 16, 32, 64):
+                b = b | pltpu.roll(b, sh, 1)
+            # all lanes equal after the OR-tree, so a max reduction reads
+            # the value; Mosaic lacks unsigned reductions, so go through
+            # int32 — (bits >> g) & 1 stays correct under arithmetic shift
+            words.append(jnp.max(pltpu.bitcast(b, jnp.int32)))
 
-        word = jax.lax.fori_loop(
-            0, UNITS_PER_TREELET, unit_mask,
-            jnp.zeros((RS, LANES), jnp.int32))
-        # lane OR-tree: every lane of row s holds sub-block s's want-word
-        for sh in (1, 2, 4, 8, 16, 32, 64):
-            word = word | pltpu.roll(word, sh, 1)
-        word_ref[...] = word
+        def gbody(g, _):
+            if n_words == 1:
+                bit = (words[0] >> g) & 1
+            else:
+                lo = words[0] >> jnp.minimum(g, 31)
+                hi = words[1] >> jnp.minimum(jnp.maximum(g - 32, 0), 31)
+                bit = jnp.where(g < 32, lo, hi) & 1
 
-        for s in range(RS):
-            w_s = word_ref[s, 0]        # scalar load of the staged word
+            @pl.when(bit > 0)
+            def _():
+                for dr in range(SUB_GROUP_ROWS):
+                    test_row(t_id, slot, SUB_GROUP_ROWS * g + dr)
+                lf_ref[gi, 0] = lf_ref[gi, 0] + SUB_GROUP_ROWS
 
-            @pl.when(w_s != 0)
-            def _(s=s, w_s=w_s):
-                rays = (
-                    jnp.broadcast_to(o_ref[0, s:s + 1, :], (8, LANES)),
-                    jnp.broadcast_to(o_ref[1, s:s + 1, :], (8, LANES)),
-                    jnp.broadcast_to(o_ref[2, s:s + 1, :], (8, LANES)),
-                    jnp.broadcast_to(d_ref[0, s:s + 1, :], (8, LANES)),
-                    jnp.broadcast_to(d_ref[1, s:s + 1, :], (8, LANES)),
-                    jnp.broadcast_to(d_ref[2, s:s + 1, :], (8, LANES)),
-                )
+            return 0
 
-                def tile_body(tt, _):
-                    pair = (w_s >> (2 * tt)) & 3
-
-                    @pl.when(pair != 0)
-                    def _():
-                        for h in range(2):
-                            bit = (w_s >> (2 * tt + h)) & 1
-
-                            @pl.when(bit != 0)
-                            def _(h=h):
-                                lf_ref[gi, 0] = lf_ref[gi, 0] + UNIT_GROUPS
-                                for gg in range(UNIT_GROUPS):
-                                    test_group(t_id, slot, tt,
-                                               h * UNIT_GROUPS + gg, s, rays)
-                    return 0
-
-                jax.lax.fori_loop(0, TILES_PER_TREELET, tile_body, 0)
-
-        # refresh the per-ray best (fold slots): feeds both the treelet
-        # frustum tmax and the next treelet's gate words
-        for s in range(RS):
-            rcp = 1.0 / st_td_ref[8 * s:8 * s + 8, :]
-            ts = st_t_ref[8 * s:8 * s + 8, :] * rcp
-            tmin_ref[s:s + 1, :] = jnp.min(ts, axis=0, keepdims=True)
+        jax.lax.fori_loop(0, n_groups, gbody, 0)
 
     # block-dominant direction signs for near-first child ordering (scalar)
     sgn_x = (d_lo_x + d_hi_x) >= 0.0
@@ -524,17 +504,17 @@ def _streamed_kernel(
         sp, pend_id, pend_slot, tmax = carry
         t_id = node - (n_treelets - 1)
         new_slot = 1 - pend_slot
-        tiles, gates = start_dmas(t_id, new_slot)
-        tiles.start()
-        gates.start()
+        rows, sub = start_dmas(t_id, new_slot)
+        rows.start()
+        sub.start()
 
         # retire the PREVIOUS treelet while this one's DMAs are in flight
         @pl.when(pend_id >= 0)
         def _():
-            ptiles, pgates = start_dmas(pend_id, pend_slot)
-            ptiles.wait()
-            pgates.wait()
-            retire_treelet(pend_id, pend_slot)
+            prows, psub = start_dmas(pend_id, pend_slot)
+            prows.wait()
+            psub.wait()
+            test_treelet(pend_id, pend_slot)
 
         # refresh the block's worst gate-t after each retired treelet
         # (ONE sync; Morton-front-to-back order shrinks it early, pruning
@@ -551,10 +531,10 @@ def _streamed_kernel(
 
         def drain(c):
             sp, pid, slot, tmax = c
-            ptiles, pgates = start_dmas(pid, slot)
-            ptiles.wait()
-            pgates.wait()
-            retire_treelet(pid, slot)
+            prows, psub = start_dmas(pid, slot)
+            prows.wait()
+            psub.wait()
+            test_treelet(pid, slot)
             return sp, jnp.int32(-1), slot, tmax
 
         def step(c):
@@ -571,27 +551,13 @@ def _streamed_kernel(
     jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(-1),
                                     jnp.int32(0), block_tmax()))
 
-    # ---- final fold: per sub-block, collapse the 8 slot states ----------
-    BIGI = jnp.int32(2 ** 31 - 1)
-    for s in range(RS):
-        r0 = 8 * s
-        rcp = 1.0 / st_td_ref[r0:r0 + 8, :]
-        ts = st_t_ref[r0:r0 + 8, :] * rcp
-        tmn = jnp.min(ts, axis=0, keepdims=True)
-        isw = ts <= tmn
-        idxs = st_idx_ref[r0:r0 + 8, :]
-        idw = jnp.min(jnp.where(isw, idxs, BIGI), axis=0, keepdims=True)
-        win = isw & (idxs == idw)
-        u_o = jnp.sum(jnp.where(win, st_u_ref[r0:r0 + 8, :] * rcp, 0.0),
-                      axis=0, keepdims=True)
-        v_o = jnp.sum(jnp.where(win, st_v_ref[r0:r0 + 8, :] * rcp, 0.0),
-                      axis=0, keepdims=True)
-        # no-hit lanes: every slot still holds (tin, 1) exactly, all idx
-        # are -1 — tmn = tin, idw = -1, u/v sum to 0 (the t_init contract)
-        t_ref[s:s + 1, :] = tmn
-        u_ref[s:s + 1, :] = u_o
-        v_ref[s:s + 1, :] = v_o
-        idx_ref[s:s + 1, :] = idw
+    # recover real distances/barycentrics from the ratio state (ONE divide
+    # per lane; no-hit lanes keep td=1, so t stays t_init exactly)
+    inv_td = 1.0 / td_ref[...]
+    t_ref[...] = t_ref[...] * inv_td
+    u_ref[...] = u_ref[...] * inv_td
+    v_ref[...] = v_ref[...] * inv_td
+
 
 def _traverse_kernel(
     roots_ref,      # scalar-prefetch: (MAX_ROOTS + 1,) i32: [count, roots...]
@@ -896,36 +862,35 @@ def trace_forest(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_treelets", "block_rows", "interpret"),
+    static_argnames=("n_treelets", "treelet_rows", "leaf_cap", "block_rows",
+                     "interpret"),
 )
 def trace_streamed(
     o3,        # (3, R) f32, R % (block_rows*128) == 0
     d3,        # (3, R) f32
     t_init,    # (R,) f32 (0 disables a lane)
-    top_f,     # (2*n_treelets - 1, 8) f32 heap-order treelet-tree AABBs
-    tris,      # (n_treelets * 16, 8, 128) f32 triangle tiles (HBM)
-    gate_f,    # (n_treelets * 32, 128) f32 gate-unit AABBs (HBM)
+    top_f,     # (2*n_treelets - 1, 8) f32 heap-order top-tree AABBs
+    tris,      # (n_treelets * treelet_rows, 128) f32 leaf-packed rows (HBM)
+    sub_f,     # (n_treelets * 2*(treelet_rows//SUB_GROUP_ROWS), 128) f32
+               #   subtree AABBs (HBM; accel/lbvh.py sub_stride layout)
     *,
     n_treelets: int,
-    block_rows: int = 8,
+    treelet_rows: int,
+    leaf_cap: int,
+    block_rows: int = 128,
     interpret: bool = False,
 ):
     """Closest-hit over an HBM-streamed LBVH (accel/lbvh.py).
 
-    Returns (t, u, v, idx), idx = tile*112 + group*8 + sublane slot
-    (-1 miss) = the triangle's Morton rank; map through
-    StreamedForest.row_perm for original triangle ids.
+    Returns (t, u, v, idx), idx = global_row * leaf_cap + slot (-1 miss);
+    map through StreamedForest.row_perm for original triangle ids.
     """
     rb = block_rows * LANES
     r = o3.shape[1]
     assert r % rb == 0, (r, rb)
+    # the sublane OR-tree reduction (b = b[:h] | b[h:rs]) halves exactly
+    # only for power-of-two block heights (ADVICE r3 #2)
     assert block_rows & (block_rows - 1) == 0, block_rows
-    # the per-sub-block loops unroll block_rows times; production blocks
-    # are 8 rows (1024 rays) — larger blocks would only loosen the
-    # sub-block gates while bloating the program
-    assert block_rows <= 16, block_rows
-    assert tris.shape == (n_treelets * TILES_PER_TREELET, GROUP_TRIS, LANES)
-    assert gate_f.shape == (n_treelets * UNITS_PER_TREELET, LANES)
     grid = (r // rb,)
     o_b = o3.reshape(3, r // LANES, LANES)
     d_b = d3.reshape(3, r // LANES, LANES)
@@ -934,13 +899,14 @@ def trace_streamed(
 
     t, u, v, idx, bt, lf = pl.pallas_call(
         functools.partial(
-            _streamed_kernel, n_treelets=n_treelets, block_rows=block_rows,
+            _streamed_kernel, n_treelets=n_treelets,
+            treelet_rows=treelet_rows, leaf_cap=leaf_cap,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # top_f
-            pl.BlockSpec(memory_space=pl.ANY),       # tiles stay in HBM
-            pl.BlockSpec(memory_space=pl.ANY),       # gate units in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # tris stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # subtree AABBs in HBM
             pl.BlockSpec((3, block_rows, LANES), lambda i: (0, i, 0)),
             pl.BlockSpec((3, block_rows, LANES), lambda i: (0, i, 0)),
             pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
@@ -963,20 +929,14 @@ def trace_streamed(
         ],
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.VMEM((2, TILES_PER_TREELET, GROUP_TRIS, LANES),
+            pltpu.VMEM((2, treelet_rows, LANES), jnp.float32),
+            pltpu.VMEM((2, 2 * (treelet_rows // SUB_GROUP_ROWS), LANES),
                        jnp.float32),
-            pltpu.VMEM((2, UNITS_PER_TREELET, LANES), jnp.float32),
-            pltpu.VMEM((block_rows * 8, LANES), jnp.float32),
-            pltpu.VMEM((block_rows * 8, LANES), jnp.float32),
-            pltpu.VMEM((block_rows * 8, LANES), jnp.float32),
-            pltpu.VMEM((block_rows * 8, LANES), jnp.float32),
-            pltpu.VMEM((block_rows * 8, LANES), jnp.int32),
             pltpu.VMEM((block_rows, LANES), jnp.float32),
-            pltpu.VMEM((block_rows, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(top_f, tris, gate_f, o_b, d_b, t_b)
+    )(top_f, tris, sub_f, o_b, d_b, t_b)
     return (
         t.reshape(r), u.reshape(r), v.reshape(r), idx.reshape(r),
         bt[:, 0], lf[:, 0]

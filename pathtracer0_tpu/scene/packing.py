@@ -109,10 +109,10 @@ class DeviceScene(NamedTuple):
 
     # HBM-streamed LBVH (accel/lbvh.py + kernels/wavefront.trace_streamed):
     # populated when the scene exceeds config.stream_threshold triangles.
-    st_top: jax.Array      # (2*n_treelets - 1, 8) f32 treelet-tree AABBs
-    st_tris: jax.Array     # (n_treelets * 16, 8, 128) f32 triangle TILES
-    st_sub: jax.Array      # (n_treelets * 32, 128) f32 gate-unit AABBs
-    st_perm: jax.Array     # (tiles * 112,) i32 slot -> original tri (-1 pad)
+    st_top: jax.Array      # (2*n_treelets - 1, 8) f32 top-tree AABBs
+    st_tris: jax.Array     # (n_treelets * treelet_rows, 128) f32 rows
+    st_sub: jax.Array      # (n_treelets * treelet_rows, 128) f32 subtree
+    st_perm: jax.Array     # (rows * 14,) i32 slot -> original tri (-1 pad)
 
     # Materials (SSBO binding 14, dispatch.java:270-329)
     materials: jax.Array  # (M, 48) f32
@@ -393,10 +393,10 @@ def pack_scene(scene, config: RenderConfig,
         st_perm = sf.row_perm
         st_n_treelets = sf.n_treelets
         st_treelet_rows = lbvh.TREELET_ROWS
-        st_leaf_cap = lbvh.GROUP_TRIS
+        st_leaf_cap = lbvh.TRIS_PER_ROW
     else:
         st_top = np.zeros((1, 8), np.float32)
-        st_tris = np.zeros((1, 1, 128), np.float32)
+        st_tris = np.zeros((1, 128), np.float32)
         st_sub = np.zeros((1, 128), np.float32)
         st_perm = np.full(1, -1, np.int32)
         st_n_treelets = 0

@@ -195,7 +195,7 @@ class TestStreamedPath:
         # enough triangles for >= 2 treelets at the current treelet size
         from pathtracer0_tpu.accel import lbvh
         n = 24   # _tri_grid_obj makes nx * nz triangles
-        while n * n <= lbvh.TREELET_TRIS:
+        while n * n <= lbvh.TRIS_PER_ROW * lbvh.TREELET_ROWS:
             n += 8
         _tri_grid_obj(str(p), n, n)
         dev_s, info_s = _scene_from_obj(str(p), stream_threshold=0)

@@ -1,8 +1,8 @@
 """Diagnostic: streamed-kernel counter + timing breakdown on the 1M terrain.
 
 Reports, per ray population (primary / sorted-bounce / unsorted-bounce):
-  - treelets retired per block (bt counter / 32, minus internal visits)
-  - gated (unit, sub-block) tests per block (lf / 7)
+  - block AABB-test counter (bt)
+  - triangle-row visits per block (lf; 14 tris/row, tested vs all rays)
   - implied pair tests per ray
   - kernel wall ms and Mrays/s
 
@@ -99,7 +99,9 @@ def run(dev, info, o, d, sort, label):
     def go(o3, d3, t_init):
         return wavefront.trace_streamed(
             o3, d3, t_init, dev.st_top, dev.st_tris, dev.st_sub,
-            n_treelets=info.st_n_treelets, block_rows=8)
+            n_treelets=info.st_n_treelets,
+            treelet_rows=info.st_treelet_rows,
+            leaf_cap=info.st_leaf_cap, block_rows=8)
 
     t, u, v, idx, bt, lf = go(o3, d3, t_init)
     _ = float(jnp.sum(t))   # axon: a scalar fetch is the only real fence
@@ -115,8 +117,8 @@ def run(dev, info, o, d, sort, label):
     blocks = bt.shape[0]
     # bt = 2*internal + 32*retires; retires >= internal/1ish; estimate
     # retires from lf-active treelets is messy — report raw sums
-    gated = lf / 7.0          # (unit, sub-block) tests per block
-    pair_per_ray = lf.sum() * 8 * 128 / B
+    gated = lf / 4.0          # gated 4-row groups per block
+    pair_per_ray = lf.sum() * 14 * 1024 / B   # rows x 14 tris x block rays
     hits = float(jnp.sum(t < 1e25))
     print(f"{label:18s} blocks={blocks} bt/blk={bt.mean():8.0f} "
           f"gated/blk={gated.mean():7.0f} pairs/ray={pair_per_ray:8.0f} "
