@@ -523,9 +523,14 @@ def _ray_scene_streamed(origins, directions, scene, info, active,
     tri_idx = jnp.where(
         idx >= 0, scene.st_perm[jnp.maximum(idx, 0)], -1
     ).astype(jnp.int32)
-    obj = jnp.where(
-        tri_idx >= 0, scene.tri_obj[jnp.maximum(tri_idx, 0)], -1
-    ).astype(jnp.int32)
+    if info.num_tri_objects == 1:
+        # single-object streamed scene: the ordinal is constant — skip the
+        # per-ray gather (each full-width gather costs ~32 ns/row/bounce)
+        obj = jnp.where(tri_idx >= 0, 0, -1).astype(jnp.int32)
+    else:
+        obj = jnp.where(
+            tri_idx >= 0, scene.tri_obj[jnp.maximum(tri_idx, 0)], -1
+        ).astype(jnp.int32)
     kind = jnp.where(tri_idx >= 0, 1, 0).astype(jnp.int32)
     prim = jnp.full((B,), -1, jnp.int32)
 
@@ -719,67 +724,12 @@ def ray_scene(origins, directions, scene, info, stack_depth: int = 64,
 ONEHOT_MAX_TRIS = 8192
 
 
-def surface_sample(hit: Hit, origins, directions, scene,
-                   info=None) -> SurfaceSample:
-    """Interpolate normal/UV/tangent at the final hits (frag.glsl:483-519
-    leaf bookkeeping + frag.glsl:606-631 ellipsoid normals), deferred to
-    once-per-ray. `origins` must be the nudged origins returned by
-    ray_scene.
-
-    Attribute rows are fetched with one-hot matmuls (bit-exact, rides the
-    MXU) instead of per-ray gathers, which lower to serial dynamic-slices
-    on TPU — measured ~10 ms/bounce on a 480k-ray batch even for tiny
-    tables."""
-    tri = jnp.maximum(hit.tri, 0)
-    loc = origins + hit.t[..., None] * directions
-
-    # --- triangle attributes ---------------------------------------------
-    u = hit.u[..., None]
-    v = hit.v[..., None]
-    w = 1.0 - u - v
-    # gate on the TRIANGLE count, not the table size: big scenes carry a
-    # 1-row tri_attr placeholder (scene/packing.py) and must take the
-    # per-array gather path below
-    if scene.tri_v1.shape[0] <= ONEHOT_MAX_TRIS:
-        attr = vm.onehot_gather(scene.tri_attr, tri)
-        n1 = attr[..., 0:3]
-        n2 = attr[..., 3:6]
-        n3 = attr[..., 6:9]
-        uv1 = attr[..., 9:11]
-        uv2 = attr[..., 11:13]
-        uv3 = attr[..., 13:15]
-        has_uv = attr[..., 15] > 0.5
-        smooth = (attr[..., 16] > 0.5)[..., None]
-        tri_mat = attr[..., 17].astype(jnp.int32)
-        tv1 = attr[..., 18:21]
-        tv2 = attr[..., 21:24]
-        tv3 = attr[..., 24:27]
-    else:
-        n1 = scene.tri_n1[tri]
-        n2 = scene.tri_n2[tri]
-        n3 = scene.tri_n3[tri]
-        uv1 = scene.tri_uv1[tri]
-        uv2 = scene.tri_uv2[tri]
-        uv3 = scene.tri_uv3[tri]
-        has_uv = scene.tri_has_uv[tri]
-        smooth = scene.tri_has_smooth[tri][..., None]
-        tri_mat = scene.tri_mat[tri]
-        tv1 = scene.tri_v1[tri]
-        tv2 = scene.tri_v2[tri]
-        tv3 = scene.tri_v3[tri]
-
-    interp = vm.normalize(n1 * w + n2 * u + n3 * v)
-    tri_norm = jnp.where(smooth, interp, n1)
-
-    uv = uv1 * w + uv2 * u + uv3 * v
-    # GL flips v for mesh UVs (frag.glsl:513)
-    uv = jnp.stack([uv[..., 0], 1.0 - uv[..., 1]], axis=-1)
-    uv = jnp.where(has_uv[..., None], uv, jnp.float32(-1.0))
-    tangent = intersect.compute_tangent(
-        tv1, tv2, tv3, uv1, uv2, uv3, tri_norm,
-    )
-    tangent = jnp.where(has_uv[..., None], tangent, 0.0)
-
+def _assemble_sample(hit: Hit, origins, directions, scene, info,
+                     loc, tri_norm, uv, tangent, has_uv, tri_mat
+                     ) -> SurfaceSample:
+    """Shared tail of surface_sample: ellipsoid/implicit attribute
+    merge and final assembly (split out so the gather-gated big-scene
+    branch and the one-hot small-scene branch share it)."""
     # --- ellipsoid attributes ----------------------------------------------
     prim = jnp.maximum(hit.prim, 0)
     ell_attr = vm.onehot_gather(
@@ -860,3 +810,104 @@ def surface_sample(hit: Hit, origins, directions, scene,
         loc=loc, norm=norm, tangent=tangent, uv=uv,
         mat=mat.astype(jnp.int32), has_uv=has_uv,
     )
+
+
+def surface_sample(hit: Hit, origins, directions, scene,
+                   info=None) -> SurfaceSample:
+    """Interpolate normal/UV/tangent at the final hits (frag.glsl:483-519
+    leaf bookkeeping + frag.glsl:606-631 ellipsoid normals), deferred to
+    once-per-ray. `origins` must be the nudged origins returned by
+    ray_scene.
+
+    Attribute rows are fetched with one-hot matmuls (bit-exact, rides the
+    MXU) instead of per-ray gathers, which lower to serial dynamic-slices
+    on TPU — measured ~10 ms/bounce on a 480k-ray batch even for tiny
+    tables."""
+    tri = jnp.maximum(hit.tri, 0)
+    loc = origins + hit.t[..., None] * directions
+
+    # --- triangle attributes ---------------------------------------------
+    u = hit.u[..., None]
+    v = hit.v[..., None]
+    w = 1.0 - u - v
+    # gate on the TRIANGLE count, not the table size: big scenes carry a
+    # 1-row tri_attr placeholder (scene/packing.py) and must take the
+    # per-array gather path below
+    if scene.tri_v1.shape[0] <= ONEHOT_MAX_TRIS:
+        attr = vm.onehot_gather(scene.tri_attr, tri)
+        n1 = attr[..., 0:3]
+        n2 = attr[..., 3:6]
+        n3 = attr[..., 6:9]
+        uv1 = attr[..., 9:11]
+        uv2 = attr[..., 11:13]
+        uv3 = attr[..., 13:15]
+        has_uv = attr[..., 15] > 0.5
+        smooth = (attr[..., 16] > 0.5)[..., None]
+        tri_mat = attr[..., 17].astype(jnp.int32)
+        tv1 = attr[..., 18:21]
+        tv2 = attr[..., 21:24]
+        tv3 = attr[..., 24:27]
+    else:
+        # Big-scene branch: per-array gathers cost ~32 ns/row at full batch
+        # width EVERY bounce (measured, 1M rows), so gathers whose columns
+        # are statically constant are skipped: a scene with no UVs anywhere
+        # (info.any_uv False) has uv == -1 and tangent == 0 by
+        # construction, and one with no smooth normals (info.any_smooth
+        # False) has norm == n1 exactly — a UV-less flat-shaded 1M-tri
+        # scene drops from 12 gathers/bounce to 2.
+        any_uv = info is None or info.any_uv
+        any_smooth = info is None or info.any_smooth
+        B_shape = tri.shape
+        n1 = scene.tri_n1[tri]
+        if any_smooth:
+            n2 = scene.tri_n2[tri]
+            n3 = scene.tri_n3[tri]
+            smooth = scene.tri_has_smooth[tri][..., None]
+        else:
+            n2 = n3 = n1
+            smooth = jnp.zeros(B_shape + (1,), bool)
+        if any_uv:
+            uv1 = scene.tri_uv1[tri]
+            uv2 = scene.tri_uv2[tri]
+            uv3 = scene.tri_uv3[tri]
+            has_uv = scene.tri_has_uv[tri]
+            tv1 = scene.tri_v1[tri]
+            tv2 = scene.tri_v2[tri]
+            tv3 = scene.tri_v3[tri]
+        else:
+            has_uv = jnp.zeros(B_shape, bool)
+        tri_mat = scene.tri_mat[tri]
+
+        interp = vm.normalize(n1 * w + n2 * u + n3 * v) if any_smooth \
+            else n1
+        tri_norm = jnp.where(smooth, interp, n1)
+        if any_uv:
+            uv = uv1 * w + uv2 * u + uv3 * v
+            # GL flips v for mesh UVs (frag.glsl:513)
+            uv = jnp.stack([uv[..., 0], 1.0 - uv[..., 1]], axis=-1)
+            uv = jnp.where(has_uv[..., None], uv, jnp.float32(-1.0))
+            tangent = intersect.compute_tangent(
+                tv1, tv2, tv3, uv1, uv2, uv3, tri_norm,
+            )
+            tangent = jnp.where(has_uv[..., None], tangent, 0.0)
+        else:
+            uv = jnp.full(B_shape + (2,), -1.0, jnp.float32)
+            tangent = jnp.zeros(B_shape + (3,), jnp.float32)
+        return _assemble_sample(
+            hit, origins, directions, scene, info, loc, tri_norm, uv,
+            tangent, has_uv, tri_mat)
+
+    interp = vm.normalize(n1 * w + n2 * u + n3 * v)
+    tri_norm = jnp.where(smooth, interp, n1)
+
+    uv = uv1 * w + uv2 * u + uv3 * v
+    # GL flips v for mesh UVs (frag.glsl:513)
+    uv = jnp.stack([uv[..., 0], 1.0 - uv[..., 1]], axis=-1)
+    uv = jnp.where(has_uv[..., None], uv, jnp.float32(-1.0))
+    tangent = intersect.compute_tangent(
+        tv1, tv2, tv3, uv1, uv2, uv3, tri_norm,
+    )
+    tangent = jnp.where(has_uv[..., None], tangent, 0.0)
+
+    return _assemble_sample(hit, origins, directions, scene, info, loc,
+                            tri_norm, uv, tangent, has_uv, tri_mat)

@@ -593,6 +593,8 @@ def pack_scene(scene, config: RenderConfig,
     if not streamed and not wf_ok_post and n_tri > FUSED_MAX_TRIS:
         return pack_scene(scene, config, max_leaf, _force_streamed=True)
 
+    has_uv_col = field("has_uv", 0, bool)
+    has_smooth_col = field("has_smooth", 0, bool)
     dev = DeviceScene(
         tri_v1=tri_pad(v1.astype(np.float32)),
         tri_v2=tri_pad(v2.astype(np.float32)),
@@ -603,8 +605,8 @@ def pack_scene(scene, config: RenderConfig,
         tri_uv1=tri_pad(uv1a),
         tri_uv2=tri_pad(uv2a),
         tri_uv3=tri_pad(uv3a),
-        tri_has_uv=pad1(field("has_uv", 0, bool)),
-        tri_has_smooth=pad1(field("has_smooth", 0, bool)),
+        tri_has_uv=pad1(has_uv_col),
+        tri_has_smooth=pad1(has_smooth_col),
         tri_mat=pad1(field("mat", 0, np.int32)),
         node_min=pad1(forest.node_min, fill=np.float32(1e30)),
         node_max=pad1(forest.node_max, fill=np.float32(-1e30)),
@@ -663,6 +665,8 @@ def pack_scene(scene, config: RenderConfig,
         imp_fn_ids=tuple(imp_fn_ids),
         has_maps=has_maps,
         has_normal_maps=has_normal_maps,
+        any_uv=bool(np.any(has_uv_col)),
+        any_smooth=bool(np.any(has_smooth_col)),
         maps_present=maps_present,
         fs_maps_ok=fs_maps_ok,
         fs_map_shapes=tuple(fs_map_shapes),
@@ -724,6 +728,14 @@ class StaticSceneInfo(NamedTuple):
     # gates for the mapMtl and TBN stages)
     has_maps: bool = True
     has_normal_maps: bool = True
+    # Any triangle carries UVs / smooth normals. When False, the per-tri
+    # uv/tangent (resp. n2/n3/smooth) arrays are identically sentinel/flat,
+    # so surface_sample skips their gathers — at 1M+ triangles each
+    # per-ray gather costs ~32 ns/row/bounce at full batch width (measured
+    # round 4), and a UV-less scene was paying 10 of its 12 gathers for
+    # constants.
+    any_uv: bool = True
+    any_smooth: bool = True
     # static set of map channels actually referenced by some material —
     # apply_maps skips the other channels' samples entirely
     maps_present: tuple = ("map_Ka", "map_Kd", "map_Ks", "map_Ke", "map_d",

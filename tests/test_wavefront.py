@@ -242,3 +242,56 @@ class TestStreamedPath:
         assert np.isfinite(img).all()
         # some rays must hit the grid (non-sky pixels)
         assert (np.abs(img[..., 2] - img[..., 0]) > 1e-3).any()
+
+
+class TestSurfaceSampleGatherGates:
+    """surface_sample's big-scene branch statically skips gathers whose
+    columns are constant (info.any_uv / any_smooth, packing.py): the gated
+    branch must agree exactly with the one-hot small-scene branch."""
+
+    def _compare(self, dev, info, n_rays=512):
+        o, d = _rand_rays(n_rays, center=(2.0, 1.0, 2.0), spread=2.0)
+        hit, o_n = traverse.ray_scene(o, d, dev, info, pallas="off")
+        s_small = traverse.surface_sample(hit, o_n, d, dev, info=info)
+        old = traverse.ONEHOT_MAX_TRIS
+        try:
+            traverse.ONEHOT_MAX_TRIS = 1   # force the big-scene branch
+            s_big = traverse.surface_sample(hit, o_n, d, dev, info=info)
+        finally:
+            traverse.ONEHOT_MAX_TRIS = old
+        for name in ("loc", "norm", "tangent", "uv"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(s_small, name)),
+                np.asarray(getattr(s_big, name)), atol=1e-5,
+                err_msg=name)
+        np.testing.assert_array_equal(np.asarray(s_small.mat),
+                                      np.asarray(s_big.mat))
+        np.testing.assert_array_equal(np.asarray(s_small.has_uv),
+                                      np.asarray(s_big.has_uv))
+
+    def test_no_uv_no_smooth(self, tmp_path):
+        """Flat-shaded UV-less mesh: the gated path (2 gathers)."""
+        p = tmp_path / "g.obj"
+        _tri_grid_obj(str(p), 8, 8)
+        dev, info = _scene_from_obj(str(p))
+        assert not info.any_uv and not info.any_smooth
+        self._compare(dev, info)
+
+    def test_with_uv_and_smooth(self):
+        """UV'd smooth mesh: the ungated path must be unchanged."""
+        sc = Scene()
+        sc.set_constant_sky((0.3, 0.3, 0.3))
+        sc.add_material("m")
+        v = np.array([[0, 0, 3], [2, 0, 3], [2, 2, 3], [0, 2, 3]],
+                     np.float64)
+        uv = np.array([(0, 0), (1, 0), (1, 1), (0, 1)], np.float64)
+        n = np.tile(np.array([[0.1, 0.2, -1.0]]), (4, 1))
+        n /= np.linalg.norm(n, axis=1, keepdims=True)
+        idx = [(0, 1, 2), (0, 2, 3)]
+        pick = lambda a, j: a[[i[j] for i in idx]]
+        sc.add_mesh(pick(v, 0), pick(v, 1), pick(v, 2), 0,
+                    normals=(pick(n, 0), pick(n, 1), pick(n, 2)),
+                    uvs=(pick(uv, 0), pick(uv, 1), pick(uv, 2)))
+        dev, info = sc.build(RenderConfig())
+        assert info.any_uv and info.any_smooth
+        self._compare(dev, info, n_rays=256)
