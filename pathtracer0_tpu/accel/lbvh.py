@@ -33,6 +33,10 @@ from typing import NamedTuple
 import numpy as np
 
 TRIS_PER_ROW = 14      # 14 * 9 floats = 126 of 128 lanes
+MORTON_BITS = 21       # bits/axis (63-bit codes). 10 bits left distant
+                       # triangles sharing quantization cells at the 4M
+                       # scale; 21 is the 64-bit maximum and is free in
+                       # the native builder's radix sort
 TREELET_ROWS = 128     # rows per HBM treelet: 128 * 128 * 4 B = 64 KB DMA
 SUB_GROUP_ROWS = 4     # triangle rows per subtree leaf: each internal
                        # subtree node costs one serializing vector->scalar
@@ -67,23 +71,26 @@ class StreamedForest(NamedTuple):
     leaf_depth: int          # levels below the root down to single rows
 
 
-def morton_codes(centroids: np.ndarray, bits: int = 10) -> np.ndarray:
-    """30-bit Morton codes of centroid positions, normalized to the AABB."""
+def morton_codes(centroids: np.ndarray,
+                 bits: int = MORTON_BITS) -> np.ndarray:
+    """3*bits-bit Morton codes of centroid positions (bits <= 21),
+    normalized to the AABB. Quantization runs in f32 (exact for <= 21-bit
+    cells after an f64 normalize) to halve the chain's bandwidth."""
     lo = centroids.min(axis=0)
     hi = centroids.max(axis=0)
     span = np.maximum(hi - lo, 1e-12)
-    # f32 is exact for a 10-bit quantization and halves the bandwidth of
-    # the (T, 3) normalize/clip chain
     norm = ((centroids - lo) / span).astype(np.float32)
     q = np.clip(norm * np.float32(2 ** bits - 1), 0,
                 2 ** bits - 1).astype(np.uint64)
 
     def spread(v):
+        # 21-bit Morton spread (two zero bits between each input bit)
         v = v.astype(np.uint64)
-        v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF)
-        v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F)
-        v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3)
-        v = (v | (v << np.uint64(2))) & np.uint64(0x09249249)
+        v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
         return v
 
     return (spread(q[:, 0]) << np.uint64(2)) | (
@@ -93,7 +100,38 @@ def morton_codes(centroids: np.ndarray, bits: int = 10) -> np.ndarray:
 def build_streamed(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
                    tris_per_row: int = TRIS_PER_ROW,
                    treelet_rows: int = TREELET_ROWS) -> StreamedForest:
-    """Build the streamed forest for T triangles (float32/64 (T, 3) each)."""
+    """Build the streamed forest for T triangles (float32/64 (T, 3) each).
+
+    Dispatches to the native C++ builder (native/streambuild.cpp via
+    accel/native_lbvh.py — the same four passes with an LSD radix sort,
+    bit-exact with the NumPy path per tests/test_native_lbvh.py) and
+    falls back to the vectorized NumPy implementation when the toolchain
+    is unavailable or PT0_NATIVE_LBVH=0.
+
+    The native default ordering is the balanced MEDIAN-SPLIT partition
+    (mode 1): every complete-tree node then bounds an actual object-median
+    split instead of a Morton-grid interval, which measured 30-55% faster
+    streamed traversal (1M-tri frame 1.25-1.37 s -> 0.95 s on v5e; see
+    PERF.md round 4). PT0_STREAM_ORDER=morton selects the Morton order,
+    which is also what the NumPy fallback builds (same forest layout
+    either way — the kernels are order-agnostic)."""
+    import os
+
+    from . import native_lbvh
+
+    if native_lbvh.available():
+        mode = 0 if os.environ.get("PT0_STREAM_ORDER") == "morton" else 1
+        return native_lbvh.build_streamed(
+            np.asarray(v1, np.float64), np.asarray(v2, np.float64),
+            np.asarray(v3, np.float64), tris_per_row, treelet_rows,
+            SUB_GROUP_ROWS, MORTON_BITS, mode=mode)
+    return _build_streamed_numpy(v1, v2, v3, tris_per_row, treelet_rows)
+
+
+def _build_streamed_numpy(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
+                          tris_per_row: int = TRIS_PER_ROW,
+                          treelet_rows: int = TREELET_ROWS) -> StreamedForest:
+    """Vectorized NumPy reference implementation (see build_streamed)."""
     t = v1.shape[0]
     # gather each vertex array ONCE in sorted order, in f32 (ADVICE r3 /
     # VERDICT r3 #4: the 4M-triangle build was superlinear-looking because

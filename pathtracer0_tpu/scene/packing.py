@@ -178,6 +178,11 @@ def pack_scene(scene, config: RenderConfig,
             col = getattr(t, name)
             parts.append(np.stack(col) if width else np.asarray(col))
         parts += [bm[name] for bm in bulk]
+        if len(parts) == 1:
+            # single-source column (one add_mesh call): zero-copy when the
+            # dtype already matches — at 4M tris each concatenate+astype
+            # pair was a ~100 MB copy on this box's single CPU
+            return np.asarray(parts[0], dtype)
         if parts:
             return np.concatenate(parts).astype(dtype)
         return np.zeros((0, width) if width else (0,), dtype)
@@ -538,12 +543,24 @@ def pack_scene(scene, config: RenderConfig,
     # #4: superlinear-looking build cost was partly this alloc + upload).
     from ..kernels.traverse import ONEHOT_MAX_TRIS
 
+    has_uv_col = field("has_uv", 0, bool)
+    has_smooth_col = field("has_smooth", 0, bool)
+    any_uv = bool(np.any(has_uv_col))
+    any_smooth = bool(np.any(has_smooth_col))
+    # Attribute columns the big-scene shade path statically never gathers
+    # (traverse.surface_sample skips n2/n3 when nothing is smooth-shaded
+    # and uv1-3 when nothing is UV-mapped) ship as 1-row placeholders: at
+    # 4M tris the unread smooth+UV tables were ~200 MB of host astype
+    # copies and device transfer per build.
+    _big = n_tri > ONEHOT_MAX_TRIS
+    _z3 = np.zeros((1, 3), np.float32)
+    _z2 = np.zeros((1, 2), np.float32)
     n1a = stack3("n1")
-    n2a = stack3("n2")
-    n3a = stack3("n3")
-    uv1a = stack3("uv1", 2)
-    uv2a = stack3("uv2", 2)
-    uv3a = stack3("uv3", 2)
+    n2a = stack3("n2") if (not _big or any_smooth) else _z3
+    n3a = stack3("n3") if (not _big or any_smooth) else _z3
+    uv1a = stack3("uv1", 2) if (not _big or any_uv) else _z2
+    uv2a = stack3("uv2", 2) if (not _big or any_uv) else _z2
+    uv3a = stack3("uv3", 2) if (not _big or any_uv) else _z2
     if n_tri <= ONEHOT_MAX_TRIS:
         tri_attr = np.zeros((max(n_tri, 1), 27), np.float32)
         if n_tri:
@@ -593,8 +610,6 @@ def pack_scene(scene, config: RenderConfig,
     if not streamed and not wf_ok_post and n_tri > FUSED_MAX_TRIS:
         return pack_scene(scene, config, max_leaf, _force_streamed=True)
 
-    has_uv_col = field("has_uv", 0, bool)
-    has_smooth_col = field("has_smooth", 0, bool)
     dev = DeviceScene(
         tri_v1=tri_pad(v1.astype(np.float32)),
         tri_v2=tri_pad(v2.astype(np.float32)),
@@ -665,8 +680,8 @@ def pack_scene(scene, config: RenderConfig,
         imp_fn_ids=tuple(imp_fn_ids),
         has_maps=has_maps,
         has_normal_maps=has_normal_maps,
-        any_uv=bool(np.any(has_uv_col)),
-        any_smooth=bool(np.any(has_smooth_col)),
+        any_uv=any_uv,
+        any_smooth=any_smooth,
         maps_present=maps_present,
         fs_maps_ok=fs_maps_ok,
         fs_map_shapes=tuple(fs_map_shapes),
