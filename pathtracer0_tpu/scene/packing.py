@@ -29,6 +29,128 @@ def _wf_vmem_bytes(n_node_rows: int, n_tri_rows: int) -> int:
     return n_node_rows * 128 * 4 + n_tri_rows * 512
 
 
+def _put_prefix(host: np.ndarray, real_rows: int, tail_row=None):
+    """Device-put only the real prefix of a row-padded streamed table and
+    rebuild the constant-fill tail on device.
+
+    The streamed forest pads its slot count to a power-of-two treelet grid
+    (accel/lbvh.py), so the tail past the real triangles is known constant
+    fill — and the tunnel host->device link moves only ~22-97 MB/s
+    (tools/diag_build4m.py). Reconstructing the tail device-side
+    (broadcast + concat at HBM bandwidth) removes that wire time from
+    build_s. Bit-equality with the full transfer is pinned by
+    tests/test_native_lbvh.py.
+
+    `tail_row` is the per-row constant the builder leaves in the pad
+    region (defaults to zeros)."""
+    import jax.numpy as jnp
+
+    n_pad = int(host.shape[0]) - int(real_rows)
+    if n_pad <= 0:
+        return jax.device_put(host)
+    head = jax.device_put(np.ascontiguousarray(host[:real_rows]))
+    if tail_row is None:
+        tail = jnp.zeros((n_pad,) + host.shape[1:], host.dtype)
+    else:
+        tail = jnp.broadcast_to(
+            jnp.asarray(tail_row, host.dtype), (n_pad,) + host.shape[1:])
+    return jnp.concatenate([head, tail], axis=0)
+
+
+def _forest_tables_device(v1, v2, v3, perm, *, tris_per_row: int,
+                          treelet_rows: int, sub_group_rows: int):
+    """Materialize the streamed forest's big tables ON DEVICE.
+
+    tri_rows/sub_f/ctree_f are pure reshape+reduce functions of the f32
+    vertex columns and the builder's row permutation (accel/lbvh.py) — and
+    the vertex columns already cross the tunnel for the shade path's
+    attribute gathers. Rebuilding the tables from them device-side replaces
+    the dominant term of a big-scene build (the ~268 MB tri_rows transfer
+    alone measured 12 s at the tunnel's ~22 MB/s; tools/diag_build4m.py)
+    with HBM-bandwidth gathers and reductions.
+
+    Bit-exactness with the host builders (pinned by tests/test_native_lbvh
+    .py::test_prefix_upload_bit_equal): f64->f32 vertex conversion commutes
+    with the gather; the f32 edge subtraction here matches the NumPy path's
+    post-astype subtraction and the native builder's explicit
+    convert-then-subtract (native/streambuild.cpp pass 3); min/max commute
+    with the monotone f64->f32 rounding and are associative, so the heap
+    reductions match level-for-level."""
+    import jax.numpy as jnp
+
+    t_slots = perm.shape[0]
+    r_pad = t_slots // tris_per_row
+    n_treelets = r_pad // treelet_rows
+    n_groups = treelet_rows // sub_group_rows
+    inf = jnp.float32(np.inf)
+
+    # Everything below is PLANAR (flat per-component columns): an earlier
+    # AoS formulation over (N, 3)-minor intermediates measured 11 s at 1M
+    # tris on v5e (the T(8,128) minor-padding tax on materialized buffers,
+    # PERF.md); the same math on nine flat columns runs in well under a
+    # second.
+    def tables(v1, v2, v3, perm):
+        valid = perm >= 0
+        idx = jnp.maximum(perm, 0)
+        comps = [jnp.where(valid, v[:, c][idx], 0.0)
+                 for v in (v1, v2, v3) for c in range(3)]
+        a, b, cc = comps[0:3], comps[3:6], comps[6:9]
+
+        # leaf rows: [a, b-a, c-a] x tris_per_row in the first 126 lanes;
+        # st_tris[r, 9j+k] = lane k of sorted slot r*tris_per_row+j
+        lanes = (a + [b[c] - a[c] for c in range(3)]
+                 + [cc[c] - a[c] for c in range(3)])
+        st = jnp.stack([l.reshape(r_pad, tris_per_row) for l in lanes],
+                       axis=2)
+        st_tris = jnp.pad(st.reshape(r_pad, 9 * tris_per_row),
+                          ((0, 0), (0, 128 - 9 * tris_per_row)))
+
+        # per-row AABBs, one flat column per component (padding slots
+        # carry inverted-infinity bounds)
+        rmin, rmax = [], []
+        for c in range(3):
+            pmn = jnp.where(
+                valid, jnp.minimum(jnp.minimum(a[c], b[c]), cc[c]), inf)
+            pmx = jnp.where(
+                valid, jnp.maximum(jnp.maximum(a[c], b[c]), cc[c]), -inf)
+            rmin.append(pmn.reshape(r_pad, tris_per_row).min(axis=1))
+            rmax.append(pmx.reshape(r_pad, tris_per_row).max(axis=1))
+
+        def heap(leaves, op, axis):
+            # complete-tree heap = levels concatenated root-first; level
+            # with `size` nodes occupies heap rows [size-1, 2*size-1)
+            levels = [leaves]
+            size = leaves.shape[axis]
+            while size > 1:
+                m = levels[-1]
+                shp = m.shape[:axis] + (size // 2, 2) + m.shape[axis + 1:]
+                levels.append(op(m.reshape(shp), axis=axis + 1))
+                size //= 2
+            return jnp.concatenate(levels[::-1], axis=axis)
+
+        # per-treelet subtree heap over GROUPS of rows + one unused pad
+        # row (kept at the builders' inverted-infinity init value), and
+        # the VMEM-resident top tree down to treelet granularity
+        subcols, topcols = [], []
+        for cols, op, sgn in ((rmin, jnp.min, 1.0), (rmax, jnp.max, -1.0)):
+            for c in range(3):
+                g = op(cols[c].reshape(n_treelets, n_groups,
+                                       sub_group_rows), axis=2)
+                h = heap(g, op, axis=1)
+                subcols.append(jnp.concatenate(
+                    [h, jnp.full((n_treelets, 1), sgn * inf)], axis=1))
+                topcols.append(heap(
+                    op(cols[c].reshape(n_treelets, treelet_rows), axis=1),
+                    op, axis=0))
+        sub6 = jnp.stack(subcols, axis=2).reshape(
+            n_treelets * 2 * n_groups, 6)
+        st_sub = jnp.pad(sub6, ((0, 0), (0, 122)))
+        st_top = jnp.pad(jnp.stack(topcols, axis=1), ((0, 0), (0, 2)))
+        return st_tris, st_sub, st_top
+
+    return jax.jit(tables)(v1, v2, v3, perm)
+
+
 class DeviceScene(NamedTuple):
     # Triangles (SSBO binding 3, dispatch.java:383-426)
     tri_v1: jax.Array   # (T, 3) f32
@@ -392,10 +514,21 @@ def pack_scene(scene, config: RenderConfig,
         from ..accel import lbvh
 
         sf = lbvh.build_streamed(v1, v2, v3)
-        st_top = sf.ctree_f
-        st_tris = sf.tri_rows
-        st_sub = sf.sub_f
-        st_perm = sf.row_perm
+        # Only the row permutation crosses the tunnel (prefix transfer:
+        # the -1 pad tail past the real triangles is rebuilt on device,
+        # see _put_prefix); the big tables — tri_rows, sub_f, ctree_f —
+        # are materialized ON DEVICE from the vertex columns that the
+        # shade path uploads anyway (_forest_tables_device). At 4M tris
+        # that removes ~400 MB from the host->device upload.
+        st_perm = _put_prefix(sf.row_perm, n_tri, tail_row=np.int32(-1))
+        _v1d = jax.device_put(np.ascontiguousarray(v1, np.float32))
+        _v2d = jax.device_put(np.ascontiguousarray(v2, np.float32))
+        _v3d = jax.device_put(np.ascontiguousarray(v3, np.float32))
+        st_tris, st_sub, st_top = _forest_tables_device(
+            _v1d, _v2d, _v3d, st_perm,
+            tris_per_row=lbvh.TRIS_PER_ROW,
+            treelet_rows=lbvh.TREELET_ROWS,
+            sub_group_rows=lbvh.SUB_GROUP_ROWS)
         st_n_treelets = sf.n_treelets
         st_treelet_rows = lbvh.TREELET_ROWS
         st_leaf_cap = lbvh.TRIS_PER_ROW
@@ -610,10 +743,18 @@ def pack_scene(scene, config: RenderConfig,
     if not streamed and not wf_ok_post and n_tri > FUSED_MAX_TRIS:
         return pack_scene(scene, config, max_leaf, _force_streamed=True)
 
+    if streamed:
+        # reuse the vertex columns already device-put for the forest
+        # materialization — they are identical to the host f32 columns
+        tri_v1_a, tri_v2_a, tri_v3_a = _v1d, _v2d, _v3d
+    else:
+        tri_v1_a = tri_pad(v1.astype(np.float32))
+        tri_v2_a = tri_pad(v2.astype(np.float32))
+        tri_v3_a = tri_pad(v3.astype(np.float32))
     dev = DeviceScene(
-        tri_v1=tri_pad(v1.astype(np.float32)),
-        tri_v2=tri_pad(v2.astype(np.float32)),
-        tri_v3=tri_pad(v3.astype(np.float32)),
+        tri_v1=tri_v1_a,
+        tri_v2=tri_v2_a,
+        tri_v3=tri_v3_a,
         tri_n1=tri_pad(n1a),
         tri_n2=tri_pad(n2a),
         tri_n3=tri_pad(n3a),

@@ -62,6 +62,28 @@ def test_duplicate_centroids_stable_order():
     assert np.array_equal(a.tri_rows, b.tri_rows)
 
 
+def test_prefix_upload_bit_equal():
+    """pack_scene transfers only the real prefix of row_perm
+    (packing._put_prefix) and materializes tri_rows/sub_f/ctree_f on
+    device from the vertex columns (packing._forest_tables_device); the
+    device-resident arrays must be bit-identical to the host builder's
+    full arrays."""
+    from pathtracer0_tpu import Scene, RenderConfig
+
+    v1, v2, v3 = _soup(6000, 7)  # ~429 rows -> 4 treelets padded to 8
+    sc = Scene()
+    sc.set_constant_sky((0.4, 0.5, 0.8))
+    sc.add_material("m")
+    sc.add_mesh(v1, v2, v3, 0)
+    dev, info = sc.build(RenderConfig(stream_threshold=0))
+    assert info.streamed
+    sf = lbvh.build_streamed(v1, v2, v3)
+    assert np.array_equal(np.asarray(dev.st_tris), sf.tri_rows)
+    assert np.array_equal(np.asarray(dev.st_sub), sf.sub_f)
+    assert np.array_equal(np.asarray(dev.st_perm), sf.row_perm)
+    assert np.array_equal(np.asarray(dev.st_top), sf.ctree_f)
+
+
 def test_dispatcher_uses_some_builder():
     """build_streamed must produce a sound forest regardless of which
     implementation serves it (native or NumPy fallback)."""
