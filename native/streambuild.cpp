@@ -91,7 +91,10 @@ extern "C" {
 //
 //   v1/v2/v3 : (t, 3) float64, C-contiguous
 //   bits     : Morton bits per axis (<= 21)
-//   tri_rows : (r_pad, 128) float32
+//   tri_rows : (r_pad, 128) float32, or NULL to skip packing the leaf
+//              rows (scene/packing.py rebuilds them on device from the
+//              vertex columns + row_perm; the 268 MB host fill at 4M
+//              tris is then pure waste)
 //   row_perm : (r_pad * tris_per_row,) int32, caller-filled with -1
 //   ctree_f  : (2 * n_treelets - 1, 8) float32
 //   sub_f    : (n_treelets * 2 * n_groups, 128) float32
@@ -198,7 +201,7 @@ int64_t pt0_build_streamed(const double* v1, const double* v2,
         const int64_t id = order[static_cast<size_t>(k)];
         const int64_t row = k / tris_per_row;
         const int64_t j = k % tris_per_row;
-        float* dst = tri_rows + 128 * row + 9 * j;
+        float* dst = tri_rows ? tri_rows + 128 * row + 9 * j : nullptr;
         float* rmin = row_min.data() + 3 * row;
         float* rmax = row_max.data() + 3 * row;
         for (int c = 0; c < 3; ++c) {
@@ -206,9 +209,11 @@ int64_t pt0_build_streamed(const double* v1, const double* v2,
             const float a = static_cast<float>(v1[3 * id + c]);
             const float b = static_cast<float>(v2[3 * id + c]);
             const float cc = static_cast<float>(v3[3 * id + c]);
-            dst[c] = a;
-            dst[3 + c] = b - a;
-            dst[6 + c] = cc - a;
+            if (dst) {
+                dst[c] = a;
+                dst[3 + c] = b - a;
+                dst[6 + c] = cc - a;
+            }
             const float mn = fminf(fminf(a, b), cc);
             const float mx = fmaxf(fmaxf(a, b), cc);
             if (mn < rmin[c]) rmin[c] = mn;

@@ -99,7 +99,8 @@ def morton_codes(centroids: np.ndarray,
 
 def build_streamed(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
                    tris_per_row: int = TRIS_PER_ROW,
-                   treelet_rows: int = TREELET_ROWS) -> StreamedForest:
+                   treelet_rows: int = TREELET_ROWS,
+                   want_tri_rows: bool = True) -> StreamedForest:
     """Build the streamed forest for T triangles (float32/64 (T, 3) each).
 
     Dispatches to the native C++ builder (native/streambuild.cpp via
@@ -114,7 +115,12 @@ def build_streamed(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
     streamed traversal (1M-tri frame 1.25-1.37 s -> 0.95 s on v5e; see
     PERF.md round 4). PT0_STREAM_ORDER=morton selects the Morton order,
     which is also what the NumPy fallback builds (same forest layout
-    either way — the kernels are order-agnostic)."""
+    either way — the kernels are order-agnostic).
+
+    want_tri_rows=False returns a 1-row tri_rows placeholder instead of
+    packing the leaf-row table host-side — for callers that rebuild it on
+    device from the vertex columns + row_perm (scene/packing
+    ._tri_rows_device; the host fill is 268 MB of waste at 4M tris)."""
     import os
 
     from . import native_lbvh
@@ -124,13 +130,16 @@ def build_streamed(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
         return native_lbvh.build_streamed(
             np.asarray(v1, np.float64), np.asarray(v2, np.float64),
             np.asarray(v3, np.float64), tris_per_row, treelet_rows,
-            SUB_GROUP_ROWS, MORTON_BITS, mode=mode)
-    return _build_streamed_numpy(v1, v2, v3, tris_per_row, treelet_rows)
+            SUB_GROUP_ROWS, MORTON_BITS, mode=mode,
+            want_tri_rows=want_tri_rows)
+    return _build_streamed_numpy(v1, v2, v3, tris_per_row, treelet_rows,
+                                 want_tri_rows=want_tri_rows)
 
 
 def _build_streamed_numpy(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
                           tris_per_row: int = TRIS_PER_ROW,
-                          treelet_rows: int = TREELET_ROWS) -> StreamedForest:
+                          treelet_rows: int = TREELET_ROWS,
+                          want_tri_rows: bool = True) -> StreamedForest:
     """Vectorized NumPy reference implementation (see build_streamed)."""
     t = v1.shape[0]
     # gather each vertex array ONCE in sorted order, in f32 (ADVICE r3 /
@@ -157,13 +166,16 @@ def _build_streamed_numpy(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
 
     # --- dense leaf-row packing (pad + reshape, no scatters) --------------
     t_pad = n_rows * tris_per_row
-    packed = np.zeros((t_pad, 9), np.float32)             # (T_pad, 9)
-    packed[:t, 0:3] = sa
-    packed[:t, 3:6] = sb - sa
-    packed[:t, 6:9] = sc_ - sa
-    tri_rows = np.zeros((r_pad, 128), np.float32)
-    tri_rows[:n_rows, : 9 * tris_per_row] = packed.reshape(
-        n_rows, 9 * tris_per_row)
+    if want_tri_rows:
+        packed = np.zeros((t_pad, 9), np.float32)         # (T_pad, 9)
+        packed[:t, 0:3] = sa
+        packed[:t, 3:6] = sb - sa
+        packed[:t, 6:9] = sc_ - sa
+        tri_rows = np.zeros((r_pad, 128), np.float32)
+        tri_rows[:n_rows, : 9 * tris_per_row] = packed.reshape(
+            n_rows, 9 * tris_per_row)
+    else:
+        tri_rows = np.zeros((1, 128), np.float32)
     row_perm = np.full(r_pad * tris_per_row, -1, np.int32)
     row_perm[:t] = order.astype(np.int32)
 

@@ -77,13 +77,18 @@ def available() -> bool:
 
 def build_streamed(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
                    tris_per_row: int, treelet_rows: int,
-                   sub_group_rows: int, bits: int, mode: int = 0):
+                   sub_group_rows: int, bits: int, mode: int = 0,
+                   want_tri_rows: bool = True):
     """Native twin of lbvh._build_streamed_numpy. Returns a StreamedForest
     (imported lazily to avoid the circular module edge).
 
     mode 0 = Morton order (bit-exact with the NumPy builder);
     mode 1 = balanced median-split order (native-only; same layout,
-    tighter node AABBs — see native/streambuild.cpp median_order)."""
+    tighter node AABBs — see native/streambuild.cpp median_order).
+
+    want_tri_rows=False skips packing the (r_pad, 128) leaf-row table
+    (268 MB at 4M tris) and returns a 1-row placeholder — for callers
+    that rebuild it on device (scene/packing._tri_rows_device)."""
     from . import lbvh
 
     lib = _load_lib()
@@ -103,7 +108,7 @@ def build_streamed(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
     sub_stride = 2 * n_groups
     cut_nodes = 2 * n_treelets - 1
 
-    tri_rows = np.zeros((r_pad, 128), np.float32)
+    tri_rows = np.zeros((r_pad if want_tri_rows else 1, 128), np.float32)
     row_perm = np.full(r_pad * tris_per_row, -1, np.int32)
     ctree_f = np.zeros((cut_nodes, 8), np.float32)
     sub_f = np.zeros((n_treelets * sub_stride, 128), np.float32)
@@ -114,7 +119,7 @@ def build_streamed(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
         v1.ctypes.data_as(dp), v2.ctypes.data_as(dp), v3.ctypes.data_as(dp),
         t, tris_per_row, treelet_rows, sub_group_rows, bits, n_treelets,
         mode,
-        tri_rows.ctypes.data_as(fp),
+        tri_rows.ctypes.data_as(fp) if want_tri_rows else fp(),
         row_perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctree_f.ctypes.data_as(fp), sub_f.ctypes.data_as(fp),
     )

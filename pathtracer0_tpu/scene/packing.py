@@ -57,98 +57,70 @@ def _put_prefix(host: np.ndarray, real_rows: int, tail_row=None):
     return jnp.concatenate([head, tail], axis=0)
 
 
-def _forest_tables_device(v1, v2, v3, perm, *, tris_per_row: int,
-                          treelet_rows: int, sub_group_rows: int):
-    """Materialize the streamed forest's big tables ON DEVICE.
+def _pad_lanes_device(host6: np.ndarray, lanes: int = 128):
+    """Upload a small forest AABB table in PACKED 6-lane form and pad to
+    the kernel's 128-lane row layout on device. sub_f at 4M tris is 134 MB
+    of which 122/128 lanes are constant zero fill — the packed transfer is
+    6.3 MB (tools/diag_build4m.py measured the tunnel at ~22-97 MB/s, so
+    the fill was seconds of wire time for nothing)."""
+    import jax.numpy as jnp
 
-    tri_rows/sub_f/ctree_f are pure reshape+reduce functions of the f32
-    vertex columns and the builder's row permutation (accel/lbvh.py) — and
-    the vertex columns already cross the tunnel for the shade path's
-    attribute gathers. Rebuilding the tables from them device-side replaces
-    the dominant term of a big-scene build (the ~268 MB tri_rows transfer
-    alone measured 12 s at the tunnel's ~22 MB/s; tools/diag_build4m.py)
-    with HBM-bandwidth gathers and reductions.
+    return jnp.pad(jax.device_put(np.ascontiguousarray(host6)),
+                   ((0, 0), (0, lanes - host6.shape[1])))
+
+
+def _tri_rows_device(v1, v2, v3, perm, *, tris_per_row: int):
+    """Materialize the streamed forest's leaf-row table (st_tris — the one
+    BIG table, 268 MB at 4M tris) ON DEVICE.
+
+    tri_rows is a pure gather+reshape of the f32 vertex columns under the
+    builder's row permutation (accel/lbvh.py:158-166) — and the vertex
+    columns already cross the tunnel for the shade path's attribute
+    gathers, so rebuilding it device-side replaces the dominant transfer
+    of a big-scene build with an HBM-bandwidth gather (~0.3 s executed vs
+    ~8-12 s of wire time; tools/diag_build4m.py).
+
+    Deliberately NOT built here: sub_f/ctree_f. Their heap-reduction graph
+    measured 38 s of XLA compile (vs 0.6 s execution) at 4M tris — they go
+    over the wire packed instead (_pad_lanes_device). This graph is just
+    gathers/arithmetic/reshape and compiles in ~5 s once per scene shape
+    (persistently cached).
 
     Bit-exactness with the host builders (pinned by tests/test_native_lbvh
     .py::test_prefix_upload_bit_equal): f64->f32 vertex conversion commutes
-    with the gather; the f32 edge subtraction here matches the NumPy path's
+    with the gather, and the f32 edge subtraction matches the NumPy path's
     post-astype subtraction and the native builder's explicit
-    convert-then-subtract (native/streambuild.cpp pass 3); min/max commute
-    with the monotone f64->f32 rounding and are associative, so the heap
-    reductions match level-for-level."""
+    convert-then-subtract (native/streambuild.cpp pass 3).
+
+    Planar (flat per-component columns) on purpose: an AoS formulation
+    over (N, 3)-minor intermediates measured 11 s at 1M tris on v5e (the
+    T(8,128) minor-padding tax on materialized buffers, PERF.md)."""
+    return _tri_rows_jit(v1, v2, v3, perm, tris_per_row)
+
+
+def _tri_rows_impl(v1, v2, v3, perm, tris_per_row):
     import jax.numpy as jnp
 
-    t_slots = perm.shape[0]
-    r_pad = t_slots // tris_per_row
-    n_treelets = r_pad // treelet_rows
-    n_groups = treelet_rows // sub_group_rows
-    inf = jnp.float32(np.inf)
+    r_pad = perm.shape[0] // tris_per_row
+    valid = perm >= 0
+    idx = jnp.maximum(perm, 0)
+    comps = [jnp.where(valid, v[:, c][idx], 0.0)
+             for v in (v1, v2, v3) for c in range(3)]
+    a, b, cc = comps[0:3], comps[3:6], comps[6:9]
+    # leaf rows: [a, b-a, c-a] x tris_per_row in the first 126 lanes;
+    # st_tris[r, 9j+k] = lane k of sorted slot r*tris_per_row+j
+    lanes = (a + [b[c] - a[c] for c in range(3)]
+             + [cc[c] - a[c] for c in range(3)])
+    st = jnp.stack([l.reshape(r_pad, tris_per_row) for l in lanes],
+                   axis=2)
+    return jnp.pad(st.reshape(r_pad, 9 * tris_per_row),
+                   ((0, 0), (0, 128 - 9 * tris_per_row)))
 
-    # Everything below is PLANAR (flat per-component columns): an earlier
-    # AoS formulation over (N, 3)-minor intermediates measured 11 s at 1M
-    # tris on v5e (the T(8,128) minor-padding tax on materialized buffers,
-    # PERF.md); the same math on nine flat columns runs in well under a
-    # second.
-    def tables(v1, v2, v3, perm):
-        valid = perm >= 0
-        idx = jnp.maximum(perm, 0)
-        comps = [jnp.where(valid, v[:, c][idx], 0.0)
-                 for v in (v1, v2, v3) for c in range(3)]
-        a, b, cc = comps[0:3], comps[3:6], comps[6:9]
 
-        # leaf rows: [a, b-a, c-a] x tris_per_row in the first 126 lanes;
-        # st_tris[r, 9j+k] = lane k of sorted slot r*tris_per_row+j
-        lanes = (a + [b[c] - a[c] for c in range(3)]
-                 + [cc[c] - a[c] for c in range(3)])
-        st = jnp.stack([l.reshape(r_pad, tris_per_row) for l in lanes],
-                       axis=2)
-        st_tris = jnp.pad(st.reshape(r_pad, 9 * tris_per_row),
-                          ((0, 0), (0, 128 - 9 * tris_per_row)))
-
-        # per-row AABBs, one flat column per component (padding slots
-        # carry inverted-infinity bounds)
-        rmin, rmax = [], []
-        for c in range(3):
-            pmn = jnp.where(
-                valid, jnp.minimum(jnp.minimum(a[c], b[c]), cc[c]), inf)
-            pmx = jnp.where(
-                valid, jnp.maximum(jnp.maximum(a[c], b[c]), cc[c]), -inf)
-            rmin.append(pmn.reshape(r_pad, tris_per_row).min(axis=1))
-            rmax.append(pmx.reshape(r_pad, tris_per_row).max(axis=1))
-
-        def heap(leaves, op, axis):
-            # complete-tree heap = levels concatenated root-first; level
-            # with `size` nodes occupies heap rows [size-1, 2*size-1)
-            levels = [leaves]
-            size = leaves.shape[axis]
-            while size > 1:
-                m = levels[-1]
-                shp = m.shape[:axis] + (size // 2, 2) + m.shape[axis + 1:]
-                levels.append(op(m.reshape(shp), axis=axis + 1))
-                size //= 2
-            return jnp.concatenate(levels[::-1], axis=axis)
-
-        # per-treelet subtree heap over GROUPS of rows + one unused pad
-        # row (kept at the builders' inverted-infinity init value), and
-        # the VMEM-resident top tree down to treelet granularity
-        subcols, topcols = [], []
-        for cols, op, sgn in ((rmin, jnp.min, 1.0), (rmax, jnp.max, -1.0)):
-            for c in range(3):
-                g = op(cols[c].reshape(n_treelets, n_groups,
-                                       sub_group_rows), axis=2)
-                h = heap(g, op, axis=1)
-                subcols.append(jnp.concatenate(
-                    [h, jnp.full((n_treelets, 1), sgn * inf)], axis=1))
-                topcols.append(heap(
-                    op(cols[c].reshape(n_treelets, treelet_rows), axis=1),
-                    op, axis=0))
-        sub6 = jnp.stack(subcols, axis=2).reshape(
-            n_treelets * 2 * n_groups, 6)
-        st_sub = jnp.pad(sub6, ((0, 0), (0, 122)))
-        st_top = jnp.pad(jnp.stack(topcols, axis=1), ((0, 0), (0, 2)))
-        return st_tris, st_sub, st_top
-
-    return jax.jit(tables)(v1, v2, v3, perm)
+# Module-level jit: a closure jitted inside _tri_rows_device would
+# recompile on EVERY build (~5.5 s at 4M tris without a persistent-cache
+# hit); one shared jit object caches by argument shape in-process.
+_tri_rows_jit = jax.jit(_tri_rows_impl, static_argnums=4)
 
 
 class DeviceScene(NamedTuple):
@@ -513,22 +485,23 @@ def pack_scene(scene, config: RenderConfig,
     if streamed:
         from ..accel import lbvh
 
-        sf = lbvh.build_streamed(v1, v2, v3)
-        # Only the row permutation crosses the tunnel (prefix transfer:
-        # the -1 pad tail past the real triangles is rebuilt on device,
-        # see _put_prefix); the big tables — tri_rows, sub_f, ctree_f —
-        # are materialized ON DEVICE from the vertex columns that the
-        # shade path uploads anyway (_forest_tables_device). At 4M tris
-        # that removes ~400 MB from the host->device upload.
+        sf = lbvh.build_streamed(v1, v2, v3, want_tri_rows=False)
+        # Transfer diet for the forest (tools/diag_build4m.py): the row
+        # permutation crosses the tunnel prefix-only (the -1 pad tail past
+        # the real triangles is rebuilt on device, _put_prefix); the one
+        # BIG table — tri_rows, 268 MB at 4M tris — is materialized ON
+        # DEVICE from the vertex columns the shade path uploads anyway
+        # (_tri_rows_device); the small AABB tables go over the wire
+        # packed to their 6 real lanes (_pad_lanes_device). Net: ~390 MB
+        # off the host->device upload at 4M tris.
         st_perm = _put_prefix(sf.row_perm, n_tri, tail_row=np.int32(-1))
         _v1d = jax.device_put(np.ascontiguousarray(v1, np.float32))
         _v2d = jax.device_put(np.ascontiguousarray(v2, np.float32))
         _v3d = jax.device_put(np.ascontiguousarray(v3, np.float32))
-        st_tris, st_sub, st_top = _forest_tables_device(
-            _v1d, _v2d, _v3d, st_perm,
-            tris_per_row=lbvh.TRIS_PER_ROW,
-            treelet_rows=lbvh.TREELET_ROWS,
-            sub_group_rows=lbvh.SUB_GROUP_ROWS)
+        st_tris = _tri_rows_device(_v1d, _v2d, _v3d, st_perm,
+                                   tris_per_row=lbvh.TRIS_PER_ROW)
+        st_sub = _pad_lanes_device(sf.sub_f[:, :6])
+        st_top = jax.device_put(sf.ctree_f)  # (2*n_treelets-1, 8): tiny
         st_n_treelets = sf.n_treelets
         st_treelet_rows = lbvh.TREELET_ROWS
         st_leaf_cap = lbvh.TRIS_PER_ROW

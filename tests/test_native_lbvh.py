@@ -65,7 +65,8 @@ def test_duplicate_centroids_stable_order():
 def test_prefix_upload_bit_equal():
     """pack_scene transfers only the real prefix of row_perm
     (packing._put_prefix) and materializes tri_rows/sub_f/ctree_f on
-    device from the vertex columns (packing._forest_tables_device); the
+    device from the vertex columns (packing._tri_rows_device) with the
+    small AABB tables uploaded packed (packing._pad_lanes_device); the
     device-resident arrays must be bit-identical to the host builder's
     full arrays."""
     from pathtracer0_tpu import Scene, RenderConfig
