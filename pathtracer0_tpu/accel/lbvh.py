@@ -50,7 +50,12 @@ class StreamedForest(NamedTuple):
 
     ctree_f: np.ndarray      # (M, 8) f32 complete-tree AABBs (top part only
                              #   is kept VMEM-resident; M = 2*n_treelets - 1)
-    tri_rows: np.ndarray     # (R_pad, 128) f32 leaf-packed triangles
+    tri_rows: np.ndarray     # (R_pad, 128) f32 leaf-packed triangles —
+                             #   or a (0, 128) placeholder when built with
+                             #   want_tri_rows=False (callers rebuild it on
+                             #   device; a zero-row array makes accidental
+                             #   consumption fail fast instead of reading
+                             #   silently-valid zeros)
     sub_f: np.ndarray        # (n_treelets * sub_stride, 128) f32: per-
                              #   treelet complete SUBTREE AABBs, one node
                              #   per 128-lane row (min xyz at lanes 0-2,
@@ -175,7 +180,7 @@ def _build_streamed_numpy(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
         tri_rows[:n_rows, : 9 * tris_per_row] = packed.reshape(
             n_rows, 9 * tris_per_row)
     else:
-        tri_rows = np.zeros((1, 128), np.float32)
+        tri_rows = np.zeros((0, 128), np.float32)
     row_perm = np.full(r_pad * tris_per_row, -1, np.int32)
     row_perm[:t] = order.astype(np.int32)
 

@@ -108,7 +108,7 @@ def build_streamed(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray,
     sub_stride = 2 * n_groups
     cut_nodes = 2 * n_treelets - 1
 
-    tri_rows = np.zeros((r_pad if want_tri_rows else 1, 128), np.float32)
+    tri_rows = np.zeros((r_pad if want_tri_rows else 0, 128), np.float32)
     row_perm = np.full(r_pad * tris_per_row, -1, np.int32)
     ctree_f = np.zeros((cut_nodes, 8), np.float32)
     sub_f = np.zeros((n_treelets * sub_stride, 128), np.float32)

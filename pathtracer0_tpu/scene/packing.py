@@ -494,6 +494,12 @@ def pack_scene(scene, config: RenderConfig,
         # (_tri_rows_device); the small AABB tables go over the wire
         # packed to their 6 real lanes (_pad_lanes_device). Net: ~390 MB
         # off the host->device upload at 4M tris.
+        # Prefix contract (ADVICE r4): both builder orderings fill
+        # row_perm's real entries as the contiguous prefix [0, n_tri) with
+        # a pure -1 tail; _put_prefix silently corrupts the device table
+        # if a future builder mode leaves gaps, so check the tail cheaply.
+        assert n_tri >= len(sf.row_perm) or sf.row_perm[n_tri:].max(
+            initial=-1) == -1, "row_perm tail past n_tri must be all -1"
         st_perm = _put_prefix(sf.row_perm, n_tri, tail_row=np.int32(-1))
         _v1d = jax.device_put(np.ascontiguousarray(v1, np.float32))
         _v2d = jax.device_put(np.ascontiguousarray(v2, np.float32))
