@@ -81,6 +81,71 @@ class TestTiled:
         assert np.isfinite(np.asarray(img)).all()
 
 
+class TestStreamedSharded:
+    """VERDICT r4 #3: the big-scene HBM-streamed path under shard_map.
+
+    Every other dist test shards small fused/packet scenes; the scale
+    workload (streamed LBVH forest, kernels/wavefront.trace_streamed) is
+    the one that most needs multi-chip, so its shardability must be a
+    tested fact, not an assumption: replicated forest tables + sharded
+    ray/pixel axis, equality vs the single-device render."""
+
+    @pytest.fixture(scope="class")
+    def streamed_scene(self, tmp_path_factory):
+        from pathtracer0_tpu import Scene
+
+        p = tmp_path_factory.mktemp("objs") / "grid.obj"
+        nx = nz = 12
+        xs = np.linspace(0.0, 8.0, nx + 1)
+        with open(p, "w") as f:
+            for z in xs:
+                for x in xs:
+                    f.write(f"v {x} {np.sin(x) * np.cos(z):.4f} {z}\n")
+            for iz in range(nz):
+                for ix in range(nx):
+                    a = iz * (nx + 1) + ix + 1
+                    b, c, d4 = a + 1, a + nx + 1, a + nx + 2
+                    f.write(f"f {a} {b} {c}\nf {b} {d4} {c}\n")
+        sc = Scene()
+        sc.set_constant_sky((0.5, 0.6, 0.9))
+        sc.add_material("m")
+        sc.set_last_mtl("Kd", (0.7, 0.6, 0.5))
+        sc.add_object(str(p), material=0)
+        cfg = RenderConfig(width=32, height=16, samples_per_frame=1,
+                           max_bounces=2, auto_focus=False, blur=0.0,
+                           stream_threshold=0)
+        dev, info = sc.build(cfg)
+        assert info.streamed and info.st_n_treelets >= 1
+        return dev, info, cfg
+
+    def test_tiled_matches_single_device(self, streamed_scene,
+                                         eight_devices):
+        dev, info, cfg = streamed_scene
+        kw = _kwargs(cfg, info)
+        cam = jnp.asarray([4.0, 3.0, -4.0], jnp.float32)
+        rot = jnp.asarray([0.35, 0.0, 0.0], jnp.float32)
+        single, rays1 = render_frame(dev, cam, rot, jnp.uint32(13), **kw)
+        m = dist_mesh.make_mesh(8)
+        tiled, rays8 = dist_mesh.render_frame_tiled(
+            dev, cam, rot, 13, m, **kw)
+        a, b = np.asarray(single), np.asarray(tiled)
+        assert np.isfinite(b).all()
+        exact = (a == b).mean()
+        assert exact > 0.995, f"only {exact:.4f} of elements bit-equal"
+        # the grid must actually be visible (non-sky pixels hit)
+        assert (np.abs(a[..., 2] - a[..., 0]) > 1e-3).any()
+        assert float(rays8) >= 0.99 * float(rays1)
+
+    def test_sample_split_runs(self, streamed_scene, eight_devices):
+        dev, info, cfg = streamed_scene
+        kw = _kwargs(cfg, info)
+        m = dist_mesh.make_mesh(8)
+        img, _ = dist_mesh.render_frame_sample_split(
+            dev, jnp.asarray([4.0, 3.0, -4.0], jnp.float32),
+            jnp.asarray([0.35, 0.0, 0.0], jnp.float32), 5, m, **kw)
+        assert np.isfinite(np.asarray(img)).all()
+
+
 class TestDistributedRenderer:
     """Multi-chip progressive driver (VERDICT r1 item 10): sharded
     accumulation + checkpoint roundtrip on the virtual mesh."""

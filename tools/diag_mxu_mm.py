@@ -77,13 +77,23 @@ def main():
               ("tlhs_fix", a_t.astype(jnp.bfloat16),
                b16.astype(jnp.bfloat16), None)]
 
+    salt = [0.0]
+
     def timed(a, b, reps, form, prec):
-        """Min wall time of one dispatch+fetch at the given rep count."""
-        aj, bj = jnp.asarray(a), jnp.asarray(b)
-        out = run(aj, bj, reps=reps, form=form, prec=prec)
+        """Min wall time of one dispatch+fetch at the given rep count.
+
+        Every call gets a FRESH rhs (the axon tunnel caches
+        (program, args) -> result pairs across calls — identical args
+        return without executing; PERF.md measurement pitfalls)."""
+        aj = jnp.asarray(a)
+        out = run(aj, jnp.asarray(b) + np.float32(salt[0]),
+                  reps=reps, form=form, prec=prec)
         _ = float(jnp.sum(out))
         ts = []
         for _i in range(4):
+            salt[0] += 1e-5
+            bj = jnp.asarray(b) + np.float32(salt[0])
+            _ = float(bj[0, 0])   # force materialization off the clock
             t0 = time.perf_counter()
             out = run(aj, bj, reps=reps, form=form, prec=prec)
             _ = float(jnp.sum(out))
