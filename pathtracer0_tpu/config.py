@@ -45,6 +45,10 @@ class RenderConfig:
     # Opt-in legacy Phong + emissive-disk area lights (the reference's
     # dead raytrace.glsl subsystem) in Whitted mode
     legacy_shading: bool = False
+    # Opt-in legacy DETERMINISTIC pathTrace (raytrace.glsl:781-899):
+    # Fresnel-weighted reflect/refract recursion following the stronger
+    # branch, single-sampling the weaker; applies in raytracing mode
+    legacy_pathtrace: bool = False
 
     gamma: float = 0.0              # NEGATIVE_GAMMA (unused by the active shader)
 

@@ -61,6 +61,9 @@ class TraceParams(NamedTuple):
     # dead compute-shader subsystem, shade/arealights.py); applies in
     # Whitted mode (raytracing=False) when the scene has disk lights
     legacy_shading: bool = False
+    # OPT-IN legacy deterministic pathTrace (raytrace.glsl:781-899,
+    # shade/arealights.path_trace); applies in raytracing mode
+    legacy_pathtrace: bool = False
     # rays per on-device chunk (render/renderer.render_rays splits larger
     # frames with lax.map to bound live memory); 0 = never chunk
     ray_batch_size: int = 1 << 20

@@ -42,6 +42,7 @@ def _frame_params(config: RenderConfig):
         fused=config.fused,
         ray_batch_size=config.ray_batch_size,
         legacy_shading=config.legacy_shading,
+        legacy_pathtrace=config.legacy_pathtrace,
     )
 
 
@@ -144,6 +145,20 @@ def render_rays(
 
     state = vrng.seed(index, frame_seed)
 
+    if raytracing and params.legacy_pathtrace:
+        # Legacy deterministic pathTrace (raytrace.glsl:781-899): one
+        # evaluation per frame, SAMPLE_RES = spp (shadow-quality knob)
+        from ..shade import arealights
+
+        o_j, d_j, state = camera.dof_ray(
+            origin, direction, cam_rot, jnp.float32(blur), ifd_b, state
+        )
+        col, state, rays = arealights.path_trace(
+            o_j, d_j, state, scene, info, params, sample_res=spp,
+            max_bounces=params.max_bounces,
+        )
+        return col, rays
+
     if (not raytracing) and params.legacy_shading and info.lights:
         # Legacy Phong + disk lights: SAMPLE_RES is the shadow grid
         # resolution (raytrace.glsl:712), not a per-pixel sample count —
@@ -233,6 +248,7 @@ def _render_frame_impl(
     use_frame = (
         (raytracing or whitted_ok)
         and not params.legacy_shading
+        and not params.legacy_pathtrace
         and not params.fold_spp
         and params.fused in ("auto", "on", "interpret")
         and (params.fused != "auto" or jax.default_backend() != "cpu")
