@@ -307,3 +307,41 @@ def test_textured_renderer_matches_oracle(oracle_textured_image,
     # sanity: the checker actually modulates the floor (not a flat image)
     floor = np.clip(renderer_textured_image, 0, 1)[:MH // 3]
     assert floor.std() > 0.02
+
+
+@pytest.fixture(scope="module")
+def fused_textured_image():
+    """The same frame through the FUSED megakernel (interpret mode on
+    CPU): the in-kernel factorized texel walk (fused._sample_map_block),
+    TBN normal path, and in-kernel sky — not the XLA sample_bilinear
+    middleman the fixture above exercises."""
+    dev, info = _textured_scene().build(max_leaf=2)
+    assert info.fs_maps_ok and info.fused_ok, (
+        "textured scene must stay fused-eligible for this test")
+    cam, rot = TEX_CAM
+    cfg = RenderConfig(width=MW, height=MH, samples_per_frame=SPP,
+                       max_bounces=BOUNCES, raytracing=True,
+                       auto_focus=False, blur=0.0, fused="interpret")
+    img, _ = render_frame(
+        dev, jnp.asarray(cam, jnp.float32), jnp.asarray(rot, jnp.float32),
+        jnp.uint32(SEED), **{
+            "info": info, "params": _frame_params(cfg), "width": MW,
+            "height": MH, "spp": SPP, "raytracing": True,
+            "auto_focus": False, "cam_size": cfg.cam_size,
+            "focal_length": cfg.focal_length, "blur": 0.0,
+            "focal_distance": cfg.focal_distance})
+    return np.asarray(img, np.float64)
+
+
+def test_textured_fused_matches_oracle(oracle_textured_image,
+                                       fused_textured_image):
+    """VERDICT r4 #8: direct oracle-vs-fused textured parity — the
+    in-kernel texel walk against the scalar float64 oracle with no XLA
+    middleman (the analytic chain already has oracle->XLA->fused; this
+    closes the transitivity gap for textures)."""
+    diff = np.abs(oracle_textured_image - fused_textured_image).max(axis=-1)
+    frac_exact = (diff < 2e-3).mean()
+    assert frac_exact >= 0.98, frac_exact
+    err = img_util.rmse(np.clip(oracle_textured_image, 0, 1),
+                        np.clip(fused_textured_image, 0, 1))
+    assert err < 0.02, err
