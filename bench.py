@@ -238,17 +238,26 @@ def run_scale(rng, n=708, tag="scale", frames=None, spp=2):
          + np.sin(X * 0.09 + 1.3) * 4.0
          + np.random.RandomState(0).rand(n, n) * 0.15)
     P = np.stack([X, Y, Z], axis=-1)
-    a = P[:-1, :-1].reshape(-1, 3)
-    b = P[1:, :-1].reshape(-1, 3)
-    c = P[:-1, 1:].reshape(-1, 3)
-    d4 = P[1:, 1:].reshape(-1, 3)
+    # indexed form (Scene.add_mesh_indexed): same triangles/vertex VALUES
+    # as the expanded grid corners, but the build ships ~n^2 shared
+    # vertices + faces instead of three expanded 4M-row f32 columns —
+    # the 4M-tri ingest's dominant cost was that ~200 MB tunnel transfer
+    # (PERF.md round-5 ingest lever)
+    g = np.arange(n * n, dtype=np.int64).reshape(n, n)
+    ga = g[:-1, :-1].reshape(-1)
+    gb = g[1:, :-1].reshape(-1)
+    gc = g[:-1, 1:].reshape(-1)
+    gd = g[1:, 1:].reshape(-1)
+    faces = np.concatenate([
+        np.stack([ga, gb, gc], axis=1),
+        np.stack([gd, gb, gc], axis=1),
+    ])
     sc = Scene()
     sc.set_constant_sky((0.5, 0.6, 0.9))
     sc.add_material("terrain")
     sc.set_last_mtl("Kd", (0.45, 0.52, 0.38))
     sc.set_last_mtl("Pr", 1.0)
-    sc.add_mesh(np.concatenate([a, d4]), np.concatenate([b, b]),
-                np.concatenate([c, c]), 0)
+    sc.add_mesh_indexed(P.reshape(-1, 3), faces, 0)
     t0 = time.perf_counter()
     dev, info = sc.build(RenderConfig())
     build_s = time.perf_counter() - t0
@@ -263,25 +272,38 @@ def run_scale(rng, n=708, tag="scale", frames=None, spp=2):
     img, r = render_frame(dev, cam, rot,
                           jnp.uint32(rng.randrange(1, 2 ** 31)), **kw)
     _ = float(r)
-    t0 = time.perf_counter()
-    tot = jnp.zeros((), jnp.float32)
     if frames is None:
-        frames = int(os.environ.get("BENCH_SCALE_FRAMES", "2"))
+        frames = int(os.environ.get("BENCH_SCALE_FRAMES", "5"))
+    # Per-frame timing with a forcing scalar fetch per frame (PERF.md
+    # measurement pitfalls): this path varies +-40% with host CPU/tunnel
+    # contention, so report min AND median over >= several frames instead
+    # of one aggregate (VERDICT r4 #4 bench hygiene).
+    rates, times = [], []
     for _k in range(frames):
+        t1 = time.perf_counter()
         img, r = render_frame(dev, cam, rot,
                               jnp.uint32(rng.randrange(1, 2 ** 31)), **kw)
-        tot = tot + r
-    tot = float(tot)
-    dt = (time.perf_counter() - t0) / frames
-    mrays = tot / frames / dt / 1e6
+        r = float(r)  # forces the frame (lazy execution otherwise)
+        dt = time.perf_counter() - t1
+        times.append(dt)
+        rates.append(r / dt / 1e6)
+    rates.sort()
+    times.sort()
+    med_rate = rates[len(rates) // 2]
     return {
         "metric": f"{tag}: {n_tris} tris (HBM-streamed LBVH), "
                   f"800x600x{spp}spp path",
-        "value": round(mrays, 3),
+        "value": round(med_rate, 3),
         "unit": "Mrays/s",
         "build_s": round(build_s, 1),
-        "frame_s": round(dt, 2),
-        "vs_baseline": round(mrays / 100.0, 4),
+        "frame_s": round(times[len(times) // 2], 2),
+        "frame_s_min": round(times[0], 2),
+        "frame_s_max": round(times[-1], 2),
+        "n_frames": frames,
+        "mrays_best": round(rates[-1], 3),
+        "note": "median over per-frame timings; spread = host CPU/tunnel "
+                "contention (PERF.md)",
+        "vs_baseline": round(med_rate / 100.0, 4),
     }
 
 
@@ -294,7 +316,10 @@ def main():
     )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    # 0: persist even sub-second programs — the scale builds dispatch a
+    # handful of small device-expansion jits whose per-process recompiles
+    # (~0.5 s each) otherwise land in build_s (PERF.md round-5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     rng = random.Random(time.time_ns())
     n_frames = int(os.environ.get("BENCH_FRAMES", "5"))
@@ -312,7 +337,7 @@ def main():
     # dispatch.java:1798): build + render one frame
     if (not only or only == "4m") and os.environ.get(
             "BENCH_4M", "1") != "0":
-        print(json.dumps(run_scale(rng, n=1416, tag="scale4m", frames=1,
+        print(json.dumps(run_scale(rng, n=1416, tag="scale4m", frames=3,
                                    spp=1)), flush=True)
     for n in (1, 2, 3, 4, 6):
         if only and str(n) != only:

@@ -26,6 +26,64 @@ from .texture import TextureRegistry
 from . import packing
 
 
+class _IndexedMesh(dict):
+    """Bulk-mesh entry stored in indexed form (Scene.add_mesh_indexed).
+
+    Quacks like the expanded add_mesh dict — per-triangle columns
+    ("v1".."v3", "n1".."n3", "uv1".."uv3", "has_uv", "has_smooth", "mat")
+    materialize lazily on first access and are cached — while exposing the
+    compact (verts, faces) payload for the streamed device-upload fast
+    path (scene/packing.py). Expansion matches add_mesh bit-for-bit for
+    positions, smooth normals, and UVs (a gather of f64 values commutes
+    with everything downstream); flat normals expand host-side here in
+    f64 exactly like add_mesh, but the streamed fast path recomputes them
+    on device in f32 (see packing._idx_tables_jit)."""
+
+    def __init__(self, verts, faces, mat: int, vnormals=None, vuvs=None):
+        super().__init__()
+        self.verts = verts          # (V, 3) f64
+        self.faces = faces          # (T, 3) i64
+        self.mat_id = mat
+        self.vnormals = vnormals    # (V, 3) f64 normalized, or None
+        self.vuvs = vuvs            # (V, 2) f64, or None
+
+    def __missing__(self, key):
+        t = self.faces.shape[0]
+        if key in ("v1", "v2", "v3"):
+            c = ("v1", "v2", "v3").index(key)
+            val = self.verts[self.faces[:, c]]
+        elif key in ("n1", "n2", "n3"):
+            if self.vnormals is not None:
+                c = ("n1", "n2", "n3").index(key)
+                val = self.vnormals[self.faces[:, c]]
+            else:
+                # flat normal, add_mesh convention (dispatch.java:398
+                # orientation): (v3-v1) x (v2-v1), normalized, shared by
+                # all three slots
+                v1, v2, v3 = self["v1"], self["v2"], self["v3"]
+                fn = np.cross(v3 - v1, v2 - v1)
+                fn = fn / np.maximum(
+                    np.linalg.norm(fn, axis=1, keepdims=True), 1e-30)
+                self["n1"] = self["n2"] = self["n3"] = fn
+                return fn
+        elif key in ("uv1", "uv2", "uv3"):
+            if self.vuvs is not None:
+                c = ("uv1", "uv2", "uv3").index(key)
+                val = self.vuvs[self.faces[:, c]]
+            else:
+                val = np.zeros((t, 2))
+        elif key == "has_uv":
+            val = np.full(t, self.vuvs is not None, bool)
+        elif key == "has_smooth":
+            val = np.full(t, self.vnormals is not None, bool)
+        elif key == "mat":
+            val = np.full(t, self.mat_id, np.int32)
+        else:
+            raise KeyError(key)
+        self[key] = val
+        return val
+
+
 class Scene:
     def __init__(self):
         self.materials: List[Material] = []
@@ -205,6 +263,43 @@ class Scene:
             has_smooth=has_smooth,
             mat=np.full(t, int(m), np.int32),
         ))
+
+    def add_mesh_indexed(self, verts, faces, m: int, normals=None,
+                         uvs=None):
+        """Bulk triangle mesh in INDEXED form: shared vertices + faces.
+
+        verts: (V, 3) float vertex positions. faces: (T, 3) int vertex
+        indices (v1, v2, v3 per triangle). normals: optional (V, 3)
+        per-vertex normals indexed by the same faces (smooth shading);
+        None = flat. uvs: optional (V, 2) per-vertex UVs.
+
+        Semantically identical to
+        ``add_mesh(verts[faces[:,0]], verts[faces[:,1]], verts[faces[:,2]],
+        m, ...)`` — per-triangle columns expand lazily when a consumer
+        needs them — but a streamed build (scene past
+        RenderConfig.stream_threshold) ships the COMPACT form to the
+        device and expands there: at the reference's 4M-triangle scale
+        anecdote (dispatch.java:1798) the expanded f32 vertex columns are
+        144 MB of host->device transfer on a ~22-97 MB/s link, vs ~24 MB
+        of shared vertices + faces (scene/packing.py)."""
+        verts = np.asarray(verts, np.float64).reshape(-1, 3)
+        faces = np.asarray(faces, np.int64).reshape(-1, 3)
+        if faces.size and (faces.min() < 0 or faces.max() >= len(verts)):
+            raise ValueError("face index out of range")
+        vn = None
+        if normals is not None:
+            vn = np.asarray(normals, np.float64).reshape(-1, 3)
+            if vn.shape[0] != verts.shape[0]:
+                raise ValueError("normals must be per-vertex (V, 3)")
+            vn = vn / np.maximum(
+                np.linalg.norm(vn, axis=1, keepdims=True), 1e-30)
+        vuv = None
+        if uvs is not None:
+            vuv = np.asarray(uvs, np.float64).reshape(-1, 2)
+            if vuv.shape[0] != verts.shape[0]:
+                raise ValueError("uvs must be per-vertex (V, 2)")
+        self.bulk_meshes.append(_IndexedMesh(verts, faces, int(m),
+                                             vn, vuv))
 
     def add_ellipsoid(self, c, stretch, rot, radius: float, m: int):
         self.ell_c.append(tuple(c))

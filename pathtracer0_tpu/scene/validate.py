@@ -53,6 +53,18 @@ def validate_scene(scene) -> None:
             _check_finite(f"triangle {fld}", np.asarray(getattr(t, fld)))
         _check_mat("triangle material", t.mat, n_mats)
     for bi, bm in enumerate(getattr(scene, "bulk_meshes", [])):
+        if getattr(bm, "faces", None) is not None:
+            # Indexed mesh (Scene.add_mesh_indexed): validate the COMPACT
+            # payload — expanding the per-triangle columns just to check
+            # finiteness costs seconds of gathers + an f64 cross at the
+            # 4M-triangle scale (face-index range is checked at add time)
+            _check_finite(f"mesh[{bi}].verts", bm.verts)
+            if bm.vnormals is not None:
+                _check_finite(f"mesh[{bi}].normals", bm.vnormals)
+            if bm.vuvs is not None:
+                _check_finite(f"mesh[{bi}].uvs", bm.vuvs)
+            _check_mat(f"mesh[{bi}] material", [bm.mat_id], n_mats)
+            continue
         for fld in ("v1", "v2", "v3", "uv1", "uv2", "uv3", "n1", "n2", "n3"):
             _check_finite(f"mesh[{bi}].{fld}", bm[fld])
         _check_mat(f"mesh[{bi}] material", bm["mat"], n_mats)
