@@ -314,3 +314,39 @@ def test_textured_whitted_frame_parity():
     a = frame("off")
     b = frame("interpret")
     assert np.abs(a - b).max() < 1e-4
+
+
+def test_refill_bit_identical(monkeypatch):
+    """The run-ahead sample-refill schedule (kernels/fused._trace_core
+    refill>0, VERDICT r4 #2) must be bit-identical to the sequential
+    per-sample grid: per-pixel RNG streams are lane-private and each lane
+    still processes its own samples in order, so ONLY the lane<->iteration
+    schedule changes. Exercised on the textured scene (maps + UV + glass —
+    every lobe family live) and the mesh scene, with DOF on."""
+    from pathtracer0_tpu.render.renderer import render_frame, _frame_params
+    from pathtracer0_tpu import RenderConfig
+
+    for builder, key in ((scenes.textured, 6), (scenes.obj_bvh, 3)):
+        dev, info = builder().build(max_leaf=4)
+        cam, rot = scenes.CAMERAS[key]
+        cam = jnp.asarray(cam, jnp.float32)
+        rot = jnp.asarray(rot, jnp.float32)
+
+        def frame(refill_env):
+            monkeypatch.setenv("PT0_FUSED_REFILL", refill_env)
+            cfg = RenderConfig(width=32, height=16, samples_per_frame=4,
+                               max_bounces=4, raytracing=True,
+                               auto_focus=False, blur=0.001,
+                               fused="interpret")
+            img, rays = render_frame(
+                dev, cam, rot, jnp.uint32(99), info=info,
+                params=_frame_params(cfg), width=32, height=16, spp=4,
+                raytracing=True, auto_focus=False, cam_size=cfg.cam_size,
+                focal_length=cfg.focal_length, blur=cfg.blur,
+                focal_distance=cfg.focal_distance)
+            return np.asarray(img), float(rays)
+
+        seq, r_seq = frame("0")
+        ref, r_ref = frame("1")
+        np.testing.assert_array_equal(ref, seq)
+        assert r_ref == r_seq
