@@ -36,7 +36,7 @@ def _setup_cache():
 
 def run(target_spp=4096, ckpt_every=64, chunk=16, seed=0):
     from pathtracer0_tpu import RenderConfig, scenes
-    from pathtracer0_tpu.render.driver import Driver
+    from pathtracer0_tpu.render.driver import FrameLoopDriver as Driver
 
     cfg = RenderConfig(width=1920, height=1080, samples_per_frame=8,
                        max_bounces=6, auto_focus=False, blur=0.001)
@@ -46,17 +46,21 @@ def run(target_spp=4096, ckpt_every=64, chunk=16, seed=0):
     dev, info = scenes.BUILDERS[5]().build(max_leaf=4)
     build_s = time.perf_counter() - t0
 
-    drv = Driver(dev, info, cfg, seed=seed, log=lambda m: print(m, flush=True))
-    # one tick to compile (persistent cache makes re-runs cheap)
-    drv.tick()
+    cam, rot = scenes.CAMERAS[5]
+    drv = Driver(dev, info, cfg, cam_pos=cam, cam_rot=rot,
+                 log=lambda m: print(m, flush=True))
+    # warm up the EXACT chunked program the loop dispatches (a K-frame
+    # scan compiles per distinct K; persistent cache makes re-runs cheap),
+    # plus the watchdog's stats fetch, then reset the accumulation
+    drv.renderer.render(frames=chunk, chunk=chunk)
+    drv._watchdog_check()
     drv.renderer.reset_accumulation()
-    drv.renderer._frame_index = 0
+    drv.frames_still = 0
     compile_s = time.perf_counter() - t0 - build_s
 
     ckpt_path = os.path.join(ROOT, "screenshots", "hero_ckpt.npz")
     per_ckpt = []
     t0 = time.perf_counter()
-    done = 1  # the reset left frame 0 rendered? no — reset cleared it
     done = 0
     while done < n_frames:
         k = min(chunk, n_frames - done)
@@ -84,8 +88,8 @@ def run(target_spp=4096, ckpt_every=64, chunk=16, seed=0):
     # ---- independent accumulation for the measured residual noise ------
     from pathtracer0_tpu import Renderer
     r2 = Renderer(dev, info, cfg,
-                  cam_pos=np.asarray(drv.cam_pos, np.float32),
-                  cam_rot=np.asarray(drv.cam_rot, np.float32),
+                  cam_pos=np.asarray(cam, np.float32),
+                  cam_rot=np.asarray(rot, np.float32),
                   seed=seed + 1)
     t0 = time.perf_counter()
     r2.render(frames=n_frames, chunk=chunk)
