@@ -320,6 +320,53 @@ def run_scale(rng, n=708, tag="scale", frames=None, spp=2):
     }
 
 
+def run_bigtex(rng):
+    """Big-texture regime (VERDICT r4 #7): the config-6-class scene with
+    a 128x128 checker floor map — the top of the round-5 lifted in-kernel
+    envelope (kernels/fused.py MAP_TEXEL_BUDGET; PERF.md "in-kernel map
+    envelope" table). Keeps the large-map regime visible in BENCH json:
+    under the round-4 envelope this scene demoted to the ~4.5 Mrays/s
+    whole-scene XLA path. Reference analogue: any-size bindless textures,
+    frag.glsl:210-225."""
+    import jax.numpy as jnp
+    from pathtracer0_tpu import RenderConfig
+    from pathtracer0_tpu.render.renderer import render_frame
+    from tools.diag_bigmap import build_with_checker
+
+    sc = build_with_checker(128)
+    dev, info = sc.build(max_leaf=4)
+    in_kernel = bool(getattr(info, "fs_maps_ok", False))
+    cam = jnp.asarray((0.0, 1.1, 0.0), jnp.float32)
+    rot = jnp.asarray((0.12, 0.0, 0.0), jnp.float32)
+    cfg = RenderConfig(width=800, height=600, samples_per_frame=16,
+                       max_bounces=6, auto_focus=False, blur=0.0)
+    kw = _frame_kwargs(cfg, info)
+    img, r = render_frame(dev, cam, rot,
+                          jnp.uint32(rng.randrange(1, 2 ** 31)), **kw)
+    _ = float(r)  # compile + warm
+    rates = []
+    for _k in range(3):
+        t0 = time.perf_counter()
+        img, r = render_frame(dev, cam, rot,
+                              jnp.uint32(rng.randrange(1, 2 ** 31)), **kw)
+        rays = float(r)
+        rates.append(rays / (time.perf_counter() - t0) / 1e6)
+    rates.sort()
+    med = rates[len(rates) // 2]
+    return {
+        "metric": "bigtex: 128x128 map_Kd (17664 texels), 800x600x16spp "
+                  "path",
+        "value": round(med, 3),
+        "unit": "Mrays/s",
+        "map_path": "in-kernel" if in_kernel else "XLA",
+        "mrays_best": round(rates[-1], 3),
+        "n_frames": 3,
+        "note": "top of the lifted in-kernel map envelope; was ~4.5 "
+                "Mrays/s (XLA demotion) under the round-4 envelope",
+        "vs_baseline": round(med / 100.0, 4),
+    }
+
+
 def main():
     import jax
     cache_dir = os.environ.get(
@@ -360,6 +407,10 @@ def main():
     if not only or only == "5":
         results[5] = run_hero(rng, hero_frames)
         print(json.dumps(results[5]), flush=True)
+    # big-texture regime (lifted in-kernel envelope, PERF.md round-5)
+    if (not only or only == "bigtex") and os.environ.get(
+            "BENCH_BIGTEX", "1") != "0":
+        print(json.dumps(run_bigtex(rng)), flush=True)
 
     # THE driver line (last): headline config-#3 throughput
     if not results:

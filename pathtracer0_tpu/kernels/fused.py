@@ -75,13 +75,17 @@ ATTR_STRIDE = 10
 # raw UV-space tangent (3), has_uv flag — resolved by committed id like attrs
 UVT_STRIDE = 10
 UVT_CAP = 12
-# In-kernel material-map limits: one image row per 128-lane table row caps
-# width at 42 texels (3 channels); the texel budget bounds the per-bounce
-# weight-accumulation cost (~5 VPU ops/texel/sample). Bigger maps keep the
-# XLA mapMtl path (scene/texture.sample_bilinear).
-MAP_MAX_H = 64
-MAP_MAX_W = 42
-MAP_TEXEL_BUDGET = 4096
+# In-kernel material-map limits. Image rows wider than 42 texels
+# (3 channels x 128 lanes) span rows_per_y table rows — the same packing
+# the 128-wide sky already walks — so the cap is the per-bounce
+# weight-accumulation COST (O(W) vector ops per windowed row), not the
+# layout. Measured on-chip (tools/diag_bigmap, PERF.md round-5): the
+# factorized walk beats the ~4.5 Mrays/s whole-scene XLA demotion by
+# 3-10x up to 128x128 maps; past the budget the XLA mapMtl path
+# (scene/texture.sample_bilinear) takes over.
+MAP_MAX_H = 128
+MAP_MAX_W = 128
+MAP_TEXEL_BUDGET = 32768
 # The sky table may be wider (image rows span several table rows) and is
 # sampled once per MISS, not per material channel — a larger budget holds.
 # 16384 texels = a 64x256 or 128x128 equirect map, 192 KB of VMEM.

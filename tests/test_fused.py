@@ -255,18 +255,43 @@ def _mapped_sphere_scene(tex_h, tex_w):
 
 
 def test_map_eligibility_by_size():
-    """Small material maps sample IN-KERNEL (round-4: fs_maps packing);
-    maps past the kernel budget (width > MAP_MAX_W texels or total texels
-    > MAP_TEXEL_BUDGET) keep the XLA mapMtl path."""
+    """Material maps up to 128x128 / 32768 total texels sample IN-KERNEL
+    (round-5 lifted envelope — wide image rows span rows_per_y table rows
+    like the 128-wide sky); maps past the budget keep the XLA mapMtl
+    path (the whole-scene demotion tools/diag_bigmap measures)."""
     p = TraceParams(max_bounces=2)
     dev, info = _mapped_sphere_scene(8, 8)
     assert info.fs_maps_ok and fused.eligible(info, dev, p)
-    dev, info = _mapped_sphere_scene(64, 64)  # W=64 > MAP_MAX_W
+    dev, info = _mapped_sphere_scene(64, 64)
+    assert info.fs_maps_ok and fused.eligible(info, dev, p)
+    dev, info = _mapped_sphere_scene(128, 160)  # W=160 > MAP_MAX_W
+    assert not info.fs_maps_ok and not fused.eligible(info, dev, p)
+    dev, info = _mapped_sphere_scene(192, 192)  # > MAP_TEXEL_BUDGET
     assert not info.fs_maps_ok and not fused.eligible(info, dev, p)
     # textures off -> maps ignored, still eligible either way
     p_off = TraceParams(max_bounces=2, use_textures=False)
     assert fused.eligible(info, dev, p_off)
     assert fused.active_map_bindings(info, p_off) == ()
+
+
+def test_wide_map_in_kernel_parity():
+    """A 64x100 map_Kd (image rows span 3 table rows, rows_per_y > 1 —
+    the round-5 lifted envelope) samples in-kernel bit-consistently with
+    the XLA sample_bilinear path."""
+    dev, info = _mapped_sphere_scene(64, 100)
+    assert info.fs_maps_ok
+    uv, index = camera.pixel_centers(24, 16)
+    d = camera.primary_directions(
+        uv, jnp.zeros(3, jnp.float32), 1.5, 1.0, 16 / 24)
+    o = jnp.zeros_like(d)
+    st = vrng.seed(index, 9)
+    inc0, _, _ = trace(o, d, st, dev, info,
+                       TraceParams(max_bounces=3, fused="off", pallas="off"))
+    inc1, _, _ = trace(o, d, st, dev, info,
+                       TraceParams(max_bounces=3, fused="interpret",
+                                   pallas="off"))
+    diff = np.abs(np.asarray(inc0) - np.asarray(inc1)).max(axis=1)
+    assert (diff < 1e-4).mean() >= 0.99, diff.max()
 
 
 def test_mapped_analytic_uv_semantics():
